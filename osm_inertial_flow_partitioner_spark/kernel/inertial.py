@@ -1,0 +1,83 @@
+"""Inertial-flow direction sweep (kernel side).
+
+Mirrors computeInertialFlowDinic
+(`/root/reference/pkg/partitioner/inertial_flow.go:107-168`):
+
+- 10 direction jobs: 5 slope lines (slope = -1 + i*2/5, proj =
+  slope*lon + (1-|slope|)*lat, helper.go:111-141) then 5 diagonal lines
+  ([1,0],[0,1],[1,1],[1,-1],[-1,1], proj = a*lon + b*lat,
+  helper.go:143-173), in that enqueue order;
+- per job: sort vertices by projection, first int(n*rate) = sources,
+  last int(n*rate) = sinks *in descending order* (helper.go:164-171 —
+  sink i is items[n-1-i]); truncation, not rounding;
+- argmin over jobs by (cut_edges, balance_delta) with balance_delta =
+  |n//2 - part_two| (inertial_flow.go:115-121).
+
+Determinism fixes frozen per SURVEY.md §7: Go's sort.Slice is unstable
+and the worker-pool result channel has nondeterministic order; we freeze
+(a) stable sort with tie-break by local vertex id, (b) total argmin
+order (cut_edges, balance_delta, job_index).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import DIAGONALS, SLOPES, SOURCE_SINK_RATE
+from .maxflow import FlowGraph, dinic_min_cut
+
+
+def direction_jobs() -> list[tuple[float, float]]:
+    """The 10 projection lines as (coef_lon, coef_lat), in enqueue order."""
+    jobs = [(s, 1.0 - abs(s)) for s in SLOPES]
+    jobs += [(a, b) for (a, b) in DIAGONALS]
+    return jobs
+
+
+def pick_sources_sinks(
+    proj: np.ndarray, rate: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """sortVerticesByLineProjection endpoint selection (helper.go:111-141).
+
+    Returns (sources ascending-projection order, sinks descending order).
+    k = int(n * rate) — truncation (helper.go:132). For n <= 3 at rate
+    0.25 this yields k = 0: the reference then degenerates to an
+    (empty, all) split; we reproduce that upstream.
+    """
+    n = len(proj)
+    order = np.argsort(proj, kind="stable")  # ties -> local id (frozen rule)
+    k = int(n * rate)
+    sources = order[:k]
+    sinks = order[::-1][:k]
+    return sources.astype(np.int64), sinks.astype(np.int64)
+
+
+def best_inertial_cut(
+    graph: FlowGraph,
+    lat: np.ndarray,
+    lon: np.ndarray,
+    rate: float = SOURCE_SINK_RATE,
+) -> tuple[np.ndarray, int, int, int]:
+    """Run the 10 direction jobs and return the argmin cut.
+
+    Returns (flags, part_two, cut_edges, best_job_index). flags[u] True =
+    source side (partition one).
+    """
+    n = graph.n
+    best = None
+    for job_idx, (a, b) in enumerate(direction_jobs()):
+        proj = a * lon + b * lat
+        sources, sinks = pick_sources_sinks(proj, rate)
+        if len(sources) == 0:
+            # degenerate: BFS from the super source fails immediately ->
+            # all real vertices unreachable -> (empty, all) split, cut 0
+            flags = np.zeros(n, dtype=bool)
+            part_two, cut = n, 0
+        else:
+            flags, part_two, cut, _ = dinic_min_cut(graph, sources, sinks)
+        balance = abs(n // 2 - part_two)
+        key = (cut, balance, job_idx)
+        if best is None or key < best[0]:
+            best = (key, flags, part_two, cut, job_idx)
+    assert best is not None
+    return best[1], best[2], best[3], best[4]

@@ -1,0 +1,120 @@
+"""Single-process multilevel partitioner + cell-number packing.
+
+Local oracle for the distributed driver (operators/partitioner.py), and
+the semantic source for golden fixtures. Mirrors
+RunMultilevelPartitioning
+(`/root/reference/pkg/partitioner/multilevel_partitioner.go:43-77`):
+
+- top level (L-1): partition all vertices with U_{L-1} **only if**
+  n > U_{L-1}, else a single cell holds everything
+  (multilevel_partitioner.go:48-55);
+- every lower level: run Partition() on *each* cell of the level above,
+  unconditionally — even a 1-vertex cell gets one (degenerate) bisection
+  (multilevel_partitioner.go:59-68), which is why empty cells appear;
+- level-l cell ids are the concatenation of per-parent results in parent
+  cell-id order (the append at :67).
+
+``pack_cell_numbers`` is op P9 (io_writer.go:54-67):
+pvOffset[l+1] = pvOffset[l] + ceil(log2(numCells[l])), level-0 id in the
+low bits; values stay < 2^63 for the reference config (<= ~60 bits).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..config import SOURCE_SINK_RATE
+from .bisection import CutStats, recursive_bisection
+
+
+def multilevel_partition_local(
+    vertex_ids: np.ndarray,
+    lat: np.ndarray,
+    lon: np.ndarray,
+    tails: np.ndarray,
+    heads: np.ndarray,
+    cell_sizes: list[int],
+    rate: float = SOURCE_SINK_RATE,
+) -> tuple[np.ndarray, list[int], list[CutStats]]:
+    """Returns (assignment[level, vertex_pos] cell id aligned to sorted
+    ``vertex_ids``; numCells per level incl. empty cells; stats).
+
+    ``lat``/``lon`` are dense arrays indexed by original vertex id.
+    ``cell_sizes`` is smallest (level 0) .. biggest (level L-1).
+    """
+    vertex_ids = np.sort(np.asarray(vertex_ids, dtype=np.int64))
+    L = len(cell_sizes)
+    n = len(vertex_ids)
+    pos = {int(v): i for i, v in enumerate(vertex_ids)}
+    assign = np.zeros((L, n), dtype=np.int64)
+    num_cells = [0] * L
+    stats: list[CutStats] = []
+
+    # level L-1
+    top_u = cell_sizes[L - 1]
+    if n > top_u:
+        res = recursive_bisection(vertex_ids, lat, lon, tails, heads, top_u, rate)
+        stats.extend(res.stats)
+        cells = res.cells
+    else:
+        cells = [vertex_ids]
+    for cid, cell in enumerate(cells):
+        for v in cell.tolist():
+            assign[L - 1, pos[v]] = cid
+    num_cells[L - 1] = len(cells)
+
+    # lower levels: Partition() per parent cell, unconditionally
+    for level in range(L - 2, -1, -1):
+        u = cell_sizes[level]
+        out_cells: list[np.ndarray] = []
+        for cell in cells:
+            if len(cell) == 0:
+                # reference: Partition on an empty id list builds an empty
+                # graph; the queue pops it, bisects the empty graph into
+                # two empty sides -> two empty final cells
+                out_cells.extend([np.empty(0, dtype=np.int64)] * 2)
+                continue
+            res = recursive_bisection(cell, lat, lon, tails, heads, u, rate)
+            stats.extend(res.stats)
+            out_cells.extend(res.cells)
+        for cid, cell in enumerate(out_cells):
+            for v in cell.tolist():
+                assign[level, pos[v]] = cid
+        num_cells[level] = len(out_cells)
+        cells = out_cells
+
+    return assign, num_cells, stats
+
+
+def pv_offsets(num_cells: list[int]) -> list[int]:
+    """pvOffset per io_writer.go:54-57; ceil(log2(1)) == 0 bits."""
+    off = [0]
+    for c in num_cells:
+        bits = 0 if c <= 1 else math.ceil(math.log2(c))
+        off.append(off[-1] + bits)
+    if off[-1] > 62:
+        raise ValueError(f"packed cell number needs {off[-1]} bits > 62")
+    return off
+
+
+def pack_cell_numbers(assign: np.ndarray, num_cells: list[int]) -> np.ndarray:
+    """cellNumbers[v] |= cellId(level) << pvOffset[level] (io_writer.go:61-67)."""
+    off = pv_offsets(num_cells)
+    packed = np.zeros(assign.shape[1], dtype=np.int64)
+    for level in range(assign.shape[0]):
+        packed |= assign[level] << np.int64(off[level])
+    return packed
+
+
+def unpack_cell_numbers(packed: np.ndarray, num_cells: list[int]) -> np.ndarray:
+    """Inverse of pack_cell_numbers (property-test aid)."""
+    off = pv_offsets(num_cells)
+    L = len(num_cells)
+    out = np.zeros((L, len(packed)), dtype=np.int64)
+    for level in range(L):
+        bits = off[level + 1] - off[level]
+        mask = (1 << bits) - 1
+        out[level] = (packed >> np.int64(off[level])) & np.int64(mask)
+    return out
