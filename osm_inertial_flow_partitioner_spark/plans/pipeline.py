@@ -1,0 +1,93 @@
+"""End-to-end tile-assignment pipeline (lifecycle E1 re-expressed).
+
+Reference `main()` (`/root/reference/main.go:11-26`): parse PBF -> build
+graph -> 5-level partition -> JSON/MLP sinks. Graft shape (SURVEY.md §3):
+
+stage A  pages (Iceberg/parquet/synthetic) -> geo-entity extraction
+         (regexp, JVM-side) -> grid-cell encode -> vertices + kNN edges;
+stage B  driver loop: multilevel inertial-flow partitioning via
+         cogrouped applyInPandas (operators/partitioner.py);
+stage C  packed cell numbers + sinks (MLP-equivalent parquet, per-level
+         JSON samples) + metrics.
+
+Every stage is a DataFrame transformation; the only driver-side state is
+the round/level loop + O(#cells) metadata.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import PartitionConfig
+from ..operators.packing import pack_assignment
+from ..operators.partitioner import multilevel_partition
+from ..sources.extract import extract_entities, knn_adjacency, text_invariant_check
+from ..sources.graph_io import write_mlp, write_partition_samples
+
+
+@dataclass
+class PipelineResult:
+    entities: DataFrame
+    edges: DataFrame
+    assignment: DataFrame
+    packed: DataFrame
+    num_cells: list[int]
+    metrics: DataFrame
+    n_docs: int
+    n_entities: int
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    config: PartitionConfig | None = None,
+    res: int = 6,
+    k: int = 4,
+    checkpoint=None,
+    output_dir: str | None = None,
+    verify_text_invariant: bool = True,
+) -> PipelineResult:
+    config = config or PartitionConfig()
+    n_docs = pages.count()
+
+    # stage A: extract
+    entities = extract_entities(pages, res=res)
+    entities.persist()
+    n_entities = entities.count()
+    edges = knn_adjacency(entities, k=k, res=res)
+    edges.persist()
+
+    if verify_text_invariant:
+        changed = text_invariant_check(pages, pages)
+        assert changed == 0, f"text mutated for {changed} urls"
+
+    vertices = entities.select(
+        F.col("entity_id").alias("vertex_id"), "lat", "lon"
+    )
+
+    # stage B: partition
+    assignment, num_cells, metrics = multilevel_partition(
+        spark, vertices, edges, config, checkpoint=checkpoint
+    )
+
+    # stage C: pack + sinks
+    packed = pack_assignment(assignment, num_cells)
+    if output_dir:
+        write_mlp(packed, num_cells, f"{output_dir}/mlp")
+        for level in range(config.levels - 1):
+            write_partition_samples(assignment, vertices.withColumnRenamed("vertex_id", "vertex_id"), f"{output_dir}/samples", level)
+        metrics.write.mode("overwrite").parquet(f"{output_dir}/metrics")
+
+    return PipelineResult(
+        entities=entities,
+        edges=edges,
+        assignment=assignment,
+        packed=packed,
+        num_cells=num_cells,
+        metrics=metrics,
+        n_docs=n_docs,
+        n_entities=n_entities,
+    )

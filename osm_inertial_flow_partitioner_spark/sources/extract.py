@@ -1,0 +1,121 @@
+"""Geo-entity extraction from Common-Crawl-style pages.
+
+Maps the reference's parse phase (S1-S3,
+`/root/reference/pkg/osmparser/osm_parser2.go:148-373`) onto the graft
+input: pages -> geo entities (vertices) -> cell-bucketed kNN adjacency
+(edges). Everything is native Catalyst (``regexp_extract_all`` +
+explode + window) — no Python in the extraction hot path, and the
+``text`` column is only ever *read*, preserving the byte-identical
+per-url invariant (input_hint; checked by tests via sha2 equality).
+
+Dense entity ids use the scalable two-phase pattern: range-partition by
+(url, pos), per-partition row_number + broadcast partition offsets — no
+single-partition global window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.geo import grid_cell, grid_disk, haversine_km
+
+GEO_PATTERN = r"geo:(-?\d+\.\d+),(-?\d+\.\d+)"
+
+
+def extract_entities(pages: DataFrame, res: int = 6) -> DataFrame:
+    """pages(url, ..., text) -> entities(entity_id, url, lat, lon, cell).
+
+    Filter-first (pages without any mention are dropped before the
+    explode — predicate prunes early), then one explode per mention.
+    """
+    mentions = (
+        pages.select(
+            "url", F.regexp_extract_all(F.col("text"), F.lit(GEO_PATTERN), 0).alias("ms")
+        )
+        .filter(F.size("ms") > 0)
+        .select("url", F.posexplode("ms").alias("pos", "m"))
+        .select(
+            "url",
+            "pos",
+            F.split(F.regexp_replace("m", "^geo:", ""), ",")[0]
+            .cast("double")
+            .alias("lat"),
+            F.split(F.regexp_replace("m", "^geo:", ""), ",")[1]
+            .cast("double")
+            .alias("lon"),
+        )
+    )
+    # distributed dense ids: partition offsets + local row_number
+    part = mentions.repartitionByRange(
+        max(mentions.sparkSession.sparkContext.defaultParallelism, 2), "url", "pos"
+    ).withColumn("pid", F.spark_partition_id())
+    counts = {r["pid"]: r["cnt"] for r in part.groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = F.broadcast(
+        part.sparkSession.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()], "pid int, offset long"
+        )
+    )
+    w = Window.partitionBy("pid").orderBy("url", "pos")
+    ent = (
+        part.join(off_df, "pid")
+        .withColumn("entity_id", F.col("offset") + F.row_number().over(w) - 1)
+        .select("entity_id", "url", "lat", "lon")
+        .withColumn("cell", grid_cell(F.col("lat"), F.col("lon"), res))
+    )
+    return ent
+
+
+def knn_adjacency(
+    entities: DataFrame, k: int = 4, res: int = 6, ring: int = 1
+) -> DataFrame:
+    """Cell-bucketed kNN graph over entities -> undirected edge list
+    (edge_id, tail, head), one row per undirected edge, deterministic
+    edge ids by (tail, head) rank.
+
+    Pattern (J6): explode the grid disk of each point -> equi-join on
+    cell (never a cross join) -> haversine rank -> top-k window. Hot
+    cells are handled by AQE skew-join splitting plus the salt in
+    ``salted_repartition`` (operators/spatial.py) when materializing.
+    """
+    pts = entities.select("entity_id", "lat", "lon", "cell")
+    probes = pts.select(
+        F.col("entity_id").alias("qid"),
+        F.col("lat").alias("qlat"),
+        F.col("lon").alias("qlon"),
+        F.explode(grid_disk(F.col("cell"), res, ring)).alias("cell"),
+    )
+    cand = probes.join(pts, "cell").filter(F.col("entity_id") != F.col("qid"))
+    d = haversine_km(F.col("qlat"), F.col("qlon"), F.col("lat"), F.col("lon"))
+    w = Window.partitionBy("qid").orderBy(
+        d.asc(), F.col("entity_id").asc()
+    )
+    knn = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.least("qid", "entity_id").alias("tail"),
+            F.greatest("qid", "entity_id").alias("head"),
+        )
+        .dropDuplicates(["tail", "head"])  # J4 edge dedup
+    )
+    # edge ids are only used for deterministic adjacency ordering inside
+    # the kernel, which sorts by (tail, edge_id): a per-tail rank is
+    # enough and avoids any global (single-partition) window.
+    we = Window.partitionBy("tail").orderBy("head")
+    return knn.withColumn("edge_id", (F.row_number().over(we) - 1).cast("long")).select(
+        "edge_id", "tail", "head"
+    )
+
+
+def text_invariant_check(pages_before: DataFrame, pages_after: DataFrame) -> int:
+    """Count urls whose extracted text changed (must be 0): sha2-equality
+    anti-join, per input_hint."""
+    a = pages_before.select("url", F.sha2(F.col("text"), 256).alias("h"))
+    b = pages_after.select("url", F.sha2(F.col("text"), 256).alias("h"))
+    return a.join(b, ["url", "h"], "left_anti").count()
