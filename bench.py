@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+Headline set = the flagship end-to-end tile pipeline (docs/sec is the
+north-star metric) + one representative per operator family.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.0
+
+    from osm_inertial_flow_partitioner_spark.config import PartitionConfig
+    from osm_inertial_flow_partitioner_spark.entry import queries
+    from osm_inertial_flow_partitioner_spark.plans.pipeline import run_pipeline
+    from osm_inertial_flow_partitioner_spark.session import get_spark
+    from osm_inertial_flow_partitioner_spark.sources.pages import generate_pages
+
+    spark = get_spark(app_name="bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # ---- flagship: end-to-end tile pipeline over synthetic CC pages ----
+    n_docs = max(int(50_000 * sf / 0.1), 2_000) if sf else 5_000
+    t0 = time.time()
+    pages = generate_pages(spark, n_docs, num_partitions=int(cpus) * 2)
+    pages = pages.persist()
+    pages.count()
+    gen_sec = time.time() - t0
+
+    t0 = time.time()
+    res = run_pipeline(
+        spark,
+        pages,
+        PartitionConfig(cell_sizes=[256, 2048]),
+        res=6,
+        k=4,
+        verify_text_invariant=True,
+    )
+    res.assignment.count()
+    timings["tile_pipeline"] = round(time.time() - t0, 3)
+    extras["docs_per_sec"] = round(n_docs / timings["tile_pipeline"], 1)
+    extras["n_docs"] = n_docs
+    extras["n_entities"] = res.n_entities
+    extras["pages_gen_sec"] = round(gen_sec, 3)
+
+    # ---- representative operator queries on the driver tables ----
+    qs = queries()
+    headline = [
+        "q1_pricing_summary",
+        "q3_top_orders",
+        "q5_region_revenue",
+        "geo_cell_index",
+        "knn_lookup",
+        "pip_join",
+        "dedup_exact",
+        "lsh_candidate_pairs",
+        "simhash",
+        "text_stats",
+        "ann_cosine_topk",
+        "events_sessionize",
+        "events_hourly_rollup",
+    ]
+    for name in headline:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

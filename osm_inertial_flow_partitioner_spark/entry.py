@@ -1,0 +1,707 @@
+"""Driver-contract implementation: flagship entry + oracle-checked
+queries (re-exported by /root/repo/__spark_entry__.py).
+
+Every operator family from SURVEY.md §2 (plus the training-data-pipeline
+additions) gets a ``queries()`` entry over the driver-provided tables at
+``sf_dir`` and, where ANSI-SQL-expressible, a DuckDB ``oracle_sql()``
+twin built on *identical* arithmetic (portable md5 hashing, integer-
+derived coordinates, rounded float outputs). Non-SQL-expressible ops
+(the iterative tile assignment) are rows-only checks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .config import PartitionConfig
+from .functions.geo import (
+    cell_parent,
+    destination_point,
+    grid_cell,
+    haversine_km,
+)
+from .functions.hashing import (
+    MINHASH_P,
+    md5_small,
+    md5_small_sql,
+    minhash_expr,
+    minhash_params,
+    minhash_sql,
+)
+from .operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+)
+from .operators.partitioner import multilevel_partition
+from .operators.sessionize import hourly_rollup, sessionize
+from .operators.similarity import cosine, cosine_topk_brute
+from .operators.spatial import (
+    knn_lookup_broadcast,
+    make_polygons_df,
+    point_in_polygon_join,
+    raster_to_vector_rollup,
+)
+from .operators.textops import document_stats
+from .sources.extract import knn_adjacency
+
+# ---------------------------------------------------------------------------
+# shared derivations (identical arithmetic Spark <-> DuckDB)
+# ---------------------------------------------------------------------------
+
+RES = 4  # grid resolution for oracle-checked cell queries
+N_PERM = 8
+N_BANDS = 4
+SIM_BITS = 16
+_PERMS = minhash_params(N_PERM, seed=42)
+
+#: integer-exact pseudo-coordinates for the customer table
+LAT_EXPR_SQL = "(((c_custkey * 37) % 1200) / 10.0 - 59.95)"
+LON_EXPR_SQL = "(((c_custkey * 91) % 3400) / 10.0 - 169.95)"
+
+KNN_QUERY_POINTS = [
+    (0, 0.05, 0.05),
+    (1, 10.33, 20.77),
+    (2, -30.21, 45.6),
+    (3, 51.5, -0.12),
+    (4, -12.0, 130.9),
+]
+
+PIP_POLYGONS = [
+    {
+        "boundary_id": 1,
+        "name": "rect_equator",
+        "ring": [(-10.0, -20.0), (-10.0, 20.0), (10.0, 20.0), (10.0, -20.0)],
+    },
+    {
+        "boundary_id": 2,
+        "name": "rect_north",
+        "ring": [(30.0, 100.0), (30.0, 140.0), (50.0, 140.0), (50.0, 100.0)],
+    },
+    {
+        "boundary_id": 3,
+        "name": "triangle",
+        "ring": [(0.37, -50.11), (20.73, -30.29), (0.37, -10.53)],
+    },
+]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("point_id"),
+        ((F.col("c_custkey") * 37) % 1200 / 10.0 - 59.95).alias("lat"),
+        ((F.col("c_custkey") * 91) % 3400 / 10.0 - 169.95).alias("lon"),
+    )
+
+
+_POINTS_SQL = (
+    f"SELECT c_custkey AS point_id, {LAT_EXPR_SQL} AS lat, {LON_EXPR_SQL} AS lon "
+    "FROM customer"
+)
+
+_HAVERSINE_SQL = (
+    "2*6371.0*asin(sqrt(pow(sin(radians({lat2}-({lat1}))/2),2) + "
+    "cos(radians({lat1}))*cos(radians({lat2}))*pow(sin(radians({lon2}-({lon1}))/2),2)))"
+)
+
+_TOKS_SQL = (
+    "SELECT doc_id, tok FROM (SELECT doc_id, "
+    "unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents) "
+    "WHERE tok <> ''"
+)
+
+# ---------------------------------------------------------------------------
+# flagship entry
+# ---------------------------------------------------------------------------
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: end-to-end tile assignment over sf0.001.
+
+    The driver's documents table carries no geo payload, so a
+    deterministic pseudo-geotag derivation (hash-free integer
+    arithmetic, documented) stands in for the extraction regex; the rest
+    is the production pipeline: points -> grid cells -> kNN graph ->
+    multilevel inertial-flow partitioning -> per-level assignment."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _t(spark, sf_dir, "documents")
+    ents = (
+        docs.select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("i"))
+        .select(
+            (F.col("doc_id") * 3 + F.col("i")).alias("vertex_id"),
+            ((F.col("doc_id") * 37 + F.col("i") * 101) % 1200 / 10.0 - 59.95).alias("lat"),
+            ((F.col("doc_id") * 91 + F.col("i") * 53) % 3400 / 10.0 - 169.95).alias("lon"),
+        )
+    )
+    edges = knn_adjacency(
+        ents.select(F.col("vertex_id").alias("entity_id"), "lat", "lon").withColumn(
+            "cell", grid_cell(F.col("lat"), F.col("lon"), 3)
+        ),
+        k=3,
+        res=3,
+    )
+    assignment, num_cells, _metrics = multilevel_partition(
+        spark, ents, edges, PartitionConfig(cell_sizes=[8, 32])
+    )
+    return assignment.orderBy("level", "vertex_id")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+    # ---- relational core (filters/joins/aggs/windows) ----
+    def q1_pricing_summary(spark, sf):
+        # money sums run on integer cents/e4 so they are exact under any
+        # partitioning (and bit-identical to the oracle)
+        li = _t(spark, sf, "lineitem")
+        disc_e4 = F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+        ).cast("long")
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+                F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
+                    "sum_base_price_cents"
+                ),
+                F.sum(disc_e4).alias("sum_disc_price_e4"),
+                F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                F.count("*").alias("count_order"),
+            )
+        )
+
+    q["q1_pricing_summary"] = q1_pricing_summary
+
+    def q3_top_orders(spark, sf):
+        c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+        o = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        rev = F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+        ).cast("long")
+        return (
+            c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+            .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderkey", "o_orderdate")
+            .agg(F.sum(rev).alias("revenue_e4"))
+            .orderBy(F.desc("revenue_e4"), F.asc("o_orderkey"))
+            .limit(10)
+        )
+
+    q["q3_top_orders"] = q3_top_orders
+
+    def q5_region_revenue(spark, sf):
+        r = _t(spark, sf, "region")
+        n = _t(spark, sf, "nation")
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        rev = F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+        ).cast("long")
+        return (
+            r.join(n, F.col("r_regionkey") == F.col("n_regionkey"))
+            .join(c, F.col("n_nationkey") == F.col("c_nationkey"))
+            .join(o, F.col("c_custkey") == F.col("o_custkey"))
+            .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("r_name")
+            .agg(
+                F.sum(rev).alias("revenue_e4"),
+                F.count("*").alias("n_lines"),
+            )
+        )
+
+    q["q5_region_revenue"] = q5_region_revenue
+
+    def dedup_rows(spark, sf):
+        # J4 edge-dedup semantics on a relational table
+        li = _t(spark, sf, "lineitem")
+        return li.groupBy("l_orderkey", "l_partkey").agg(
+            F.min("l_linenumber").alias("first_line"),
+            F.count("*").alias("n_dups"),
+        )
+
+    q["dedup_rows"] = dedup_rows
+
+    def argmin_per_group(spark, sf):
+        # A6 argmin with total-order tie-break, as a window
+        o = _t(spark, sf, "orders")
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.asc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey")
+        )
+        return (
+            o.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("o_custkey", "o_orderkey", F.round("o_totalprice", 4).alias("min_price"))
+        )
+
+    q["argmin_per_group"] = argmin_per_group
+
+    def w1_extreme_selection(spark, sf):
+        # W1 source/sink selection semantics: first/last int(n*0.25) by
+        # (value, id) over the customer balance ordering
+        c = _t(spark, sf, "customer")
+        n = c.count()
+        k = int(n * 0.25)
+        wa = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+        ranked = c.withColumn("rk", F.row_number().over(wa))
+        return ranked.filter((F.col("rk") <= k) | (F.col("rk") > n - k)).select(
+            "c_custkey",
+            F.when(F.col("rk") <= k, F.lit("source")).otherwise(F.lit("sink")).alias("side"),
+        )
+
+    q["w1_extreme_selection"] = w1_extreme_selection
+
+    # ---- geo scalar functions + spatial joins ----
+    def geo_haversine(spark, sf):
+        p = _points(spark, sf)
+        return p.select(
+            "point_id",
+            F.round(
+                haversine_km(F.col("lat"), F.col("lon"), F.lit(0.0), F.lit(0.0)), 6
+            ).alias("dist_km"),
+        )
+
+    q["geo_haversine"] = geo_haversine
+
+    def geo_cell_index(spark, sf):
+        p = _points(spark, sf)
+        return (
+            p.withColumn("cell", grid_cell(F.col("lat"), F.col("lon"), RES))
+            .groupBy("cell")
+            .agg(F.count("*").alias("n_points"), F.min("point_id").alias("min_point"))
+        )
+
+    q["geo_cell_index"] = geo_cell_index
+
+    def raster_rollup(spark, sf):
+        p = _points(spark, sf)
+        return raster_to_vector_rollup(p, res=6, parent_res=RES)
+
+    q["raster_rollup"] = raster_rollup
+
+    def geo_destination(spark, sf):
+        p = _points(spark, sf)
+        dl, dn = destination_point(
+            F.col("lat"), F.col("lon"), F.lit(45.0), F.lit(100.0)
+        )
+        return p.select(
+            "point_id", F.round(dl, 5).alias("dest_lat"), F.round(dn, 5).alias("dest_lon")
+        )
+
+    q["geo_destination"] = geo_destination
+
+    def knn_lookup(spark, sf):
+        p = _points(spark, sf).withColumnRenamed("point_id", "entity_id")
+        qdf = p.sparkSession.createDataFrame(
+            KNN_QUERY_POINTS, "query_id long, lat double, lon double"
+        )
+        d = haversine_km(F.col("qlat"), F.col("qlon"), F.col("lat"), F.col("lon"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.round(d, 6).asc(), F.col("entity_id").asc()
+        )
+        return (
+            p.crossJoin(
+                F.broadcast(
+                    qdf.select(
+                        "query_id",
+                        F.col("lat").alias("qlat"),
+                        F.col("lon").alias("qlon"),
+                    )
+                )
+            )
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .select("query_id", "entity_id", F.round(d, 6).alias("dist_km"), "rk")
+        )
+
+    q["knn_lookup"] = knn_lookup
+
+    def pip_join(spark, sf):
+        p = _points(spark, sf)
+        polys = make_polygons_df(spark, PIP_POLYGONS, res=RES)
+        return point_in_polygon_join(p, polys, res=RES).select(
+            "point_id", "boundary_id"
+        )
+
+    q["pip_join"] = pip_join
+
+    # ---- dedup family (documents) ----
+    q["dedup_exact"] = lambda spark, sf: exact_dedup(_t(spark, sf, "documents"))
+
+    q["minhash_signatures"] = lambda spark, sf: minhash_signatures(
+        _t(spark, sf, "documents"), num_perm=N_PERM
+    )
+
+    q["lsh_candidate_pairs"] = lambda spark, sf: lsh_candidate_pairs(
+        _t(spark, sf, "documents"), num_perm=N_PERM, bands=N_BANDS
+    )
+
+    q["simhash"] = lambda spark, sf: simhash(_t(spark, sf, "documents"), bits=SIM_BITS)
+
+    q["jaccard_pairs"] = lambda spark, sf: jaccard_pairs(
+        _t(spark, sf, "documents"), threshold=0.5
+    )
+
+    # ---- text analysis ----
+    q["text_stats"] = lambda spark, sf: document_stats(_t(spark, sf, "documents"))
+
+    # ---- similarity search ----
+    def ann_cosine_topk(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        qv = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        sim = cosine(
+            F.transform(F.col("embedding"), lambda x: x.cast("double")),
+            F.transform(F.col("qvec"), lambda x: x.cast("double")),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.round(sim, 6).desc(), F.col("vec_id").asc()
+        )
+        return (
+            emb.crossJoin(F.broadcast(qv))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.round(sim, 5).alias("sim"),
+                "rk",
+            )
+        )
+
+    q["ann_cosine_topk"] = ann_cosine_topk
+
+    # ---- event stream (batch twins) ----
+    q["events_sessionize"] = lambda spark, sf: sessionize(_t(spark, sf, "events"))
+
+    q["events_hourly_rollup"] = lambda spark, sf: hourly_rollup(_t(spark, sf, "events"))
+
+    # ---- non-SQL-expressible: the flagship tiling (rows-only check) ----
+    def tile_assignment(spark, sf):
+        docs = _t(spark, sf, "documents")
+        ents = (
+            docs.select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("i"))
+            .select(
+                (F.col("doc_id") * 3 + F.col("i")).alias("vertex_id"),
+                ((F.col("doc_id") * 37 + F.col("i") * 101) % 1200 / 10.0 - 59.95).alias("lat"),
+                ((F.col("doc_id") * 91 + F.col("i") * 53) % 3400 / 10.0 - 169.95).alias("lon"),
+            )
+        )
+        edges = knn_adjacency(
+            ents.select(F.col("vertex_id").alias("entity_id"), "lat", "lon").withColumn(
+                "cell", grid_cell(F.col("lat"), F.col("lon"), 3)
+            ),
+            k=3,
+            res=3,
+        )
+        assignment, _nc, _m = multilevel_partition(
+            spark, ents, edges, PartitionConfig(cell_sizes=[16, 128])
+        )
+        return assignment
+
+    q["tile_assignment"] = tile_assignment
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+
+def _minhash_select_sql() -> str:
+    th = md5_small_sql("tok")
+    cols = ", ".join(
+        f"min({minhash_sql('th', a, b)}) AS mh{i}" for i, (a, b) in enumerate(_PERMS)
+    )
+    return (
+        f"WITH toks AS ({_TOKS_SQL}), "
+        f"dt AS (SELECT DISTINCT doc_id, tok FROM toks), "
+        f"th AS (SELECT doc_id, {th} AS th FROM dt) "
+        f"SELECT doc_id, {cols} FROM th GROUP BY doc_id"
+    )
+
+
+def _simhash_sql() -> str:
+    th = md5_small_sql("tok")
+    sums = ", ".join(
+        f"sum(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIM_BITS)
+    )
+    val = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIM_BITS)
+    )
+    return (
+        f"WITH toks AS ({_TOKS_SQL}), "
+        f"dt AS (SELECT DISTINCT doc_id, tok FROM toks), "
+        f"th AS (SELECT doc_id, {th} AS th FROM dt), "
+        f"sums AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id) "
+        f"SELECT doc_id, ({val})::BIGINT AS simhash FROM sums"
+    )
+
+
+def _lsh_pairs_sql() -> str:
+    rows = N_PERM // N_BANDS
+    bands = []
+    for b in range(N_BANDS):
+        cols = " || '_' || ".join(
+            f"mh{b * rows + r}::VARCHAR" for r in range(rows)
+        )
+        bands.append(f"SELECT doc_id, {b} AS band, ({cols}) AS bucket FROM sigs")
+    stacked = " UNION ALL ".join(bands)
+    return (
+        f"WITH sigs AS ({_minhash_select_sql()}), stacked AS ({stacked}) "
+        "SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2 "
+        "FROM stacked a JOIN stacked b ON a.band = b.band AND a.bucket = b.bucket "
+        "WHERE a.doc_id < b.doc_id"
+    )
+
+
+def _pip_sql() -> str:
+    # rectangles: between; triangle: same-side sign tests (strict interior)
+    (a_lat, a_lon), (b_lat, b_lon), (c_lat, c_lon) = [
+        (p[0], p[1]) for p in PIP_POLYGONS[2]["ring"]
+    ]
+
+    def cross(x1, y1, x2, y2):
+        return f"(({x2}-({x1}))*(lat-({y1})) - (({y2}-({y1}))*(lon-({x1}))))"
+
+    d1 = cross(a_lon, a_lat, b_lon, b_lat)
+    d2 = cross(b_lon, b_lat, c_lon, c_lat)
+    d3 = cross(c_lon, c_lat, a_lon, a_lat)
+    tri = (
+        f"(({d1} > 0 AND {d2} > 0 AND {d3} > 0) OR ({d1} < 0 AND {d2} < 0 AND {d3} < 0))"
+    )
+    return (
+        f"WITH p AS ({_POINTS_SQL}) "
+        "SELECT point_id, 1::BIGINT AS boundary_id FROM p "
+        "WHERE lat > -10 AND lat < 10 AND lon > -20 AND lon < 20 "
+        "UNION ALL "
+        "SELECT point_id, 2::BIGINT FROM p "
+        "WHERE lat > 30 AND lat < 50 AND lon > 100 AND lon < 140 "
+        "UNION ALL "
+        f"SELECT point_id, 3::BIGINT FROM p WHERE {tri}"
+    )
+
+
+def oracle_sql() -> dict[str, str]:
+    n = 1 << RES
+    cell_sql = (
+        f"(least(greatest(floor((lat+90.0)/180.0*{n}), 0), {n - 1})::BIGINT * {n} "
+        f"+ ((floor((lon+180.0)/360.0*{n})::BIGINT % {n}) + {n}) % {n})"
+    )
+    n6 = 1 << 6
+    cell6_sql = (
+        f"(least(greatest(floor((lat+90.0)/180.0*{n6}), 0), {n6 - 1})::BIGINT * {n6} "
+        f"+ ((floor((lon+180.0)/360.0*{n6})::BIGINT % {n6}) + {n6}) % {n6})"
+    )
+    # parent of res-6 cell at res RES=4: shift both coords by 2
+    parent_sql = (
+        f"((({cell6_sql} // {n6}) // 4) * {n} + (({cell6_sql} % {n6}) // 4))"
+    )
+    hav0 = _HAVERSINE_SQL.format(lat1="lat", lon1="lon", lat2="0.0", lon2="0.0")
+    havq = _HAVERSINE_SQL.format(lat1="qlat", lon1="qlon", lat2="lat", lon2="lon")
+    knn_pts = ", ".join(f"({i}, {la}, {lo})" for i, la, lo in KNN_QUERY_POINTS)
+
+    o = {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+                   sum(round(l_extendedprice * 100, 0)::BIGINT)::BIGINT
+                     AS sum_base_price_cents,
+                   sum(round(l_extendedprice * (1 - l_discount) * 10000, 0)::BIGINT)::BIGINT
+                     AS sum_disc_price_e4,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_top_orders": """
+            SELECT o_orderkey, o_orderdate,
+                   sum(round(l_extendedprice * (1 - l_discount) * 10000, 0)::BIGINT)::BIGINT
+                     AS revenue_e4
+            FROM customer JOIN orders ON c_custkey = o_custkey
+                          JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue_e4 DESC, o_orderkey ASC LIMIT 10
+        """,
+        "q5_region_revenue": """
+            SELECT r_name,
+                   sum(round(l_extendedprice * (1 - l_discount) * 10000, 0)::BIGINT)::BIGINT
+                     AS revenue_e4,
+                   count(*) AS n_lines
+            FROM region JOIN nation ON r_regionkey = n_regionkey
+                        JOIN customer ON n_nationkey = c_nationkey
+                        JOIN orders ON c_custkey = o_custkey
+                        JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY r_name
+        """,
+        "dedup_rows": """
+            SELECT l_orderkey, l_partkey,
+                   min(l_linenumber) AS first_line, count(*) AS n_dups
+            FROM lineitem GROUP BY l_orderkey, l_partkey
+        """,
+        "argmin_per_group": """
+            SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS min_price
+            FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice ASC, o_orderdate ASC, o_orderkey ASC) AS rk
+                  FROM orders) WHERE rk = 1
+        """,
+        "w1_extreme_selection": """
+            WITH ranked AS (
+              SELECT c_custkey,
+                     row_number() OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS rk,
+                     count(*) OVER () AS n
+              FROM customer)
+            SELECT c_custkey,
+                   CASE WHEN rk <= floor(n * 0.25)::BIGINT THEN 'source' ELSE 'sink' END AS side
+            FROM ranked
+            WHERE rk <= floor(n * 0.25)::BIGINT OR rk > n - floor(n * 0.25)::BIGINT
+        """,
+        "geo_haversine": f"""
+            WITH p AS ({_POINTS_SQL})
+            SELECT point_id, round({hav0}, 6) AS dist_km FROM p
+        """,
+        "geo_cell_index": f"""
+            WITH p AS ({_POINTS_SQL})
+            SELECT {cell_sql} AS cell, count(*) AS n_points,
+                   min(point_id) AS min_point
+            FROM p GROUP BY 1
+        """,
+        "raster_rollup": f"""
+            WITH p AS ({_POINTS_SQL})
+            SELECT {parent_sql}::BIGINT AS tile, count(*) AS n_points
+            FROM p GROUP BY 1
+        """,
+        "geo_destination": """
+            WITH p AS ({pts}),
+            c AS (SELECT point_id,
+                    radians(lat) AS la1, radians(lon) AS lo1,
+                    100.0/6371.0 AS ang, radians(45.0) AS brg FROM p),
+            d AS (SELECT point_id, lo1, ang, brg, la1,
+                    asin(sin(la1)*cos(ang) + cos(la1)*sin(ang)*cos(brg)) AS la2 FROM c)
+            SELECT point_id,
+                   round(degrees(la2), 5) AS dest_lat,
+                   round(((degrees(lo1 + atan2(sin(brg)*sin(ang)*cos(la1),
+                         cos(ang) - sin(la1)*sin(la2))) + 540.0) % 360.0) - 180.0, 5)
+                     AS dest_lon
+            FROM d
+        """.format(pts=_POINTS_SQL),
+        "knn_lookup": f"""
+            WITH p AS ({_POINTS_SQL}),
+            qs (query_id, qlat, qlon) AS (VALUES {knn_pts}),
+            d AS (SELECT query_id, point_id AS entity_id,
+                         round({havq}, 6) AS dist_km FROM qs CROSS JOIN p),
+            r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY dist_km ASC, entity_id ASC) AS rk FROM d)
+            SELECT query_id, entity_id, dist_km, rk FROM r WHERE rk <= 5
+        """,
+        "pip_join": _pip_sql(),
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+            FROM (SELECT doc_id,
+                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+                  FROM documents)
+            GROUP BY h
+        """,
+        "minhash_signatures": _minhash_select_sql(),
+        "lsh_candidate_pairs": _lsh_pairs_sql(),
+        "simhash": _simhash_sql(),
+        "jaccard_pairs": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            dt AS (SELECT DISTINCT doc_id, tok FROM toks),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM dt GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+                      FROM dt a JOIN dt b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT doc1, doc2,
+                   round(i * 1.0 / (s1.sz + s2.sz - i), 6) AS jaccard
+            FROM inter JOIN sizes s1 ON doc1 = s1.doc_id
+                       JOIN sizes s2 ON doc2 = s2.doc_id
+            WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.5
+        """,
+        "text_stats": f"""
+            WITH toks AS ({_TOKS_SQL}),
+            agg AS (SELECT doc_id,
+                      count(*)::BIGINT AS n_tokens,
+                      count(DISTINCT tok)::BIGINT AS n_distinct_tokens,
+                      round(sum(length(tok)) * 1.0 / count(*), 6) AS avg_token_len,
+                      round(sum(CASE WHEN tok IN ('the','a','of','and','to','in','is','on','for','with')
+                                THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS stopword_ratio,
+                      sum(CASE WHEN tok IN ('the','and','of') THEN 1 ELSE 0 END) AS s_en,
+                      sum(CASE WHEN tok IN ('der','und','die') THEN 1 ELSE 0 END) AS s_de,
+                      sum(CASE WHEN tok IN ('le','et','la') THEN 1 ELSE 0 END) AS s_fr,
+                      sum(CASE WHEN tok IN ('el','y','de') THEN 1 ELSE 0 END) AS s_es
+                    FROM toks GROUP BY doc_id),
+            base AS (SELECT doc_id,
+                      round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                            * 1.0 / greatest(length(text), 1), 6) AS punct_ratio,
+                      ('0x' || substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15))::BIGINT
+                        AS fingerprint
+                     FROM documents)
+            SELECT a.doc_id, n_tokens, n_distinct_tokens, avg_token_len,
+                   stopword_ratio, punct_ratio,
+                   round((CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.5 END)
+                         * (0.5 + 0.5 * n_distinct_tokens / greatest(n_tokens, 1))
+                         - 0.25 * punct_ratio, 6) AS quality,
+                   CASE
+                     WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                     WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                     WHEN s_es > 0 AND s_es >= s_fr THEN 'es'
+                     WHEN s_fr > 0 THEN 'fr'
+                     ELSE 'und'
+                   END AS lang_pred,
+                   fingerprint
+            FROM agg a JOIN base USING (doc_id)
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+                       FROM embeddings WHERE vec_id < 5),
+            d AS (SELECT query_id, vec_id AS neighbor_id,
+                    list_cosine_similarity(embedding::DOUBLE[], qvec::DOUBLE[]) AS s
+                  FROM embeddings CROSS JOIN q WHERE vec_id <> query_id),
+            r AS (SELECT query_id, neighbor_id, round(s, 5) AS sim,
+                    row_number() OVER (PARTITION BY query_id
+                       ORDER BY round(s, 6) DESC, neighbor_id ASC) AS rk FROM d)
+            SELECT query_id, neighbor_id, sim, rk FROM r WHERE rk <= 5
+        """,
+        "events_sessionize": """
+            WITH g AS (SELECT user_id, event_id, ts,
+                        CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                               OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                             THEN 1 ELSE 0 END AS is_new
+                       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id, event_id, ts,
+                   (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)::BIGINT
+                     AS session_id
+            FROM g
+        """,
+        "events_hourly_rollup": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   count(*) AS n,
+                   sum(round(value * 100, 0)::BIGINT)::BIGINT AS sum_value_cents
+            FROM events GROUP BY 1, 2
+        """,
+    }
+    return {k: v.strip() for k, v in o.items()}

@@ -118,6 +118,10 @@ class _ExtGraph:
         self.eflow = np.zeros(len(eu), dtype=np.int64)
         self.level = np.full(n, INVALID_LEVEL, dtype=np.int64)
         self.last = np.zeros(n, dtype=np.int64)
+        # list-mirror caches for the blocking-flow hot loop
+        self._ev_list = None
+        self._ecap_list = None
+        self._eflow_list = None
 
 
 def _bfs_levels(g: _ExtGraph, s: int, t: int) -> bool:
@@ -151,50 +155,151 @@ def _bfs_levels(g: _ExtGraph, s: int, t: int) -> bool:
     return level[t] != INVALID_LEVEL
 
 
-def _dfs_augment(g: _ExtGraph, s: int, t: int) -> int:
-    """One augmenting path via current-arc DFS — iterative rendering of
-    the recursive dfsAugmentPath (dinic_sources_sinks.go:47-73): on
-    dead-end, mark INVALID and let the parent advance its arc; on
-    success, push min-residual flow through the ``id ^ 1`` pairs and
-    leave all arcs in place."""
-    ev, ecap, eflow, off, flat, level, last = (
-        g.ev,
-        g.ecap,
-        g.eflow,
-        g.off,
-        g.flat,
-        g.level,
-        g.last,
+def _blocking_flow_phase(g: _ExtGraph, s: int, t: int) -> int:
+    """One full blocking-flow phase: repeated current-arc DFS until no
+    augmenting path remains (the inner loop of
+    computeMinCutSuperSourceSink, dinic_sources_sinks.go:83-90).
+
+    EXACT-equivalence speedup: the set of *admissible* arcs
+    (level[v] == level[u]+1 and residual > 0) can only SHRINK during a
+    phase — levels only change to INVALID (dead-end kills), residual
+    only changes on pushed path edges (which become saturated) and their
+    reverses (whose level relation level[u] = level[v]-1 makes them
+    inadmissible this phase by construction). So we pre-filter each
+    vertex's adjacency to its phase-start admissible arcs *in original
+    order* (vectorized numpy) and let the Python DFS scan only those,
+    re-checking level (dead-end kills) and residual (saturation) — the
+    sequence of chosen arcs, and hence the augmenting paths and the
+    final flow, are identical to the reference's full scan.
+    """
+    level_np = g.level
+    eu, ev_np, ecap_np, eflow_np, off_np, flat_np = (
+        g.eu, g.ev, g.ecap, g.eflow, g.off, g.flat,
     )
+    adm = (level_np[eu] + 1 == level_np[ev_np]) & (ecap_np > eflow_np)
+    adm_flat = adm[flat_np]
+    flat2_np = flat_np[adm_flat]
+    # per-vertex admissible counts via prefix sums over the flat order
+    pref = np.zeros(len(adm_flat) + 1, dtype=np.int64)
+    np.cumsum(adm_flat, out=pref[1:])
+    off2_np = pref[off_np[: g.n + 1]]
+
+    # hot-loop state as Python lists (list indexing is several times
+    # faster than numpy scalar indexing); static topology lists and the
+    # authoritative eflow list are cached on the graph across phases
+    if g._ev_list is None:
+        g._ev_list = g.ev.tolist()
+        g._ecap_list = g.ecap.tolist()
+        g._eflow_list = g.eflow.tolist()
+    ev = g._ev_list
+    ecap = g._ecap_list
+    eflow = g._eflow_list
+    flat2 = flat2_np.tolist()
+    off2 = off2_np.tolist()
+    level = level_np.tolist()
+    last = [0] * g.n
+    pushed: list[int] = []
+    deltas: list[int] = []
+
+    total = 0
+    INVALID = INVALID_LEVEL
+    while True:
+        stack = [s]
+        path: list[int] = []
+        f = 0
+        while stack:
+            u = stack[-1]
+            if u == t:
+                f = min(ecap[e] - eflow[e] for e in path)
+                for e in path:
+                    eflow[e] += f
+                    eflow[e ^ 1] -= f
+                    pushed.append(e)
+                    deltas.append(f)
+                break
+            nxt = level[u] + 1
+            base = off2[u]
+            end = off2[u + 1]
+            j = last[u]
+            advanced = False
+            while base + j < end:
+                e = flat2[base + j]
+                v = ev[e]
+                if level[v] == nxt and ecap[e] > eflow[e]:
+                    stack.append(v)
+                    path.append(e)
+                    advanced = True
+                    break
+                j += 1
+            last[u] = j
+            if not advanced:
+                level[u] = INVALID
+                stack.pop()
+                if path:
+                    path.pop()
+                    last[stack[-1]] += 1
+        if f == 0:
+            break
+        total += f
+
+    # mirror flow deltas back into the numpy state for the next BFS
+    if pushed:
+        ids = np.asarray(pushed, dtype=np.int64)
+        dl = np.asarray(deltas, dtype=np.int64)
+        np.add.at(eflow_np, ids, dl)
+        np.add.at(eflow_np, ids ^ 1, -dl)
+    # levels are reset by the next BFS; no write-back needed
+    return total
+
+
+def _dfs_augment(g: _ExtGraph, s: int, t: int) -> int:
+    """Single-path variant kept for unit tests: runs one phase's first
+    augmenting path semantics via the same machinery. Mutates g.eflow
+    and g.level like the reference's dfsAugmentPath."""
+    lev_before = g.level.copy()
+    ev = g.ev.tolist()
+    ecap = g.ecap.tolist()
+    eflow = g.eflow.tolist()
+    off = g.off.tolist()
+    flat = g.flat.tolist()
+    level = g.level.tolist()
+    last = g.last.tolist()
     stack = [s]
     path: list[int] = []
+    f = 0
     while stack:
         u = stack[-1]
         if u == t:
-            f = min(int(ecap[e] - eflow[e]) for e in path)
+            f = min(ecap[e] - eflow[e] for e in path)
             for e in path:
                 eflow[e] += f
                 eflow[e ^ 1] -= f
-            return f
+            break
         nxt = level[u] + 1
-        deg = off[u + 1] - off[u]
+        base = off[u]
+        end = off[u + 1]
+        j = last[u]
         advanced = False
-        while last[u] < deg:
-            e = int(flat[off[u] + last[u]])
-            v = int(ev[e])
-            if level[v] == nxt and ecap[e] - eflow[e] > 0:
+        while base + j < end:
+            e = flat[base + j]
+            v = ev[e]
+            if level[v] == nxt and ecap[e] > eflow[e]:
                 stack.append(v)
                 path.append(e)
                 advanced = True
                 break
-            last[u] += 1
+            j += 1
+        last[u] = j
         if not advanced:
             level[u] = INVALID_LEVEL
             stack.pop()
             if path:
                 path.pop()
                 last[stack[-1]] += 1
-    return 0
+    g.eflow[:] = eflow
+    g.level[:] = level
+    g.last[:] = last
+    return f
 
 
 def dinic_min_cut(
@@ -211,11 +316,7 @@ def dinic_min_cut(
     while True:
         g.last.fill(0)  # resetCurrentEdges (dinic.go:126-130)
         if _bfs_levels(g, s, t):
-            while True:
-                f = _dfs_augment(g, s, t)
-                if f == 0:
-                    break
-                max_flow += f
+            max_flow += _blocking_flow_phase(g, s, t)
         else:
             flags = g.level[: base.n] != INVALID_LEVEL
             part_two = int(base.n) - int(flags.sum())

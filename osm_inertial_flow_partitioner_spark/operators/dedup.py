@@ -1,0 +1,149 @@
+"""Deduplication operators over a documents table.
+
+Every variant is shuffle-conscious and has a DuckDB oracle:
+
+- exact: hash-groupBy on a normalized fingerprint (one shuffle,
+  map-side combine);
+- minhash + LSH: token-hash -> P permutations via (a*x+b) mod P (all
+  JVM), band buckets, candidate pairs via bucket equi-join — the
+  standard shingle->minhash->band->bucket-join pipeline. Signatures are
+  agg columns (no explode of perms): one shuffle for signatures, one
+  self-join on (band, value);
+- simhash: 64-bit sign-sum of token hashes, computed as 64 agg columns;
+  near-dup pairs = equal simhash (exact-bit variant keeps the oracle
+  SQL-expressible; hamming<k refine is a trivial extra filter);
+- n-gram/word Jaccard: explode distinct tokens, self-join on token,
+  |intersection| / |union| threshold;
+- embedding cosine near-dup: see similarity.py.
+
+All hashing goes through the portable md5 path (functions/hashing.py)
+so the oracle matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_small, minhash_expr, minhash_params
+from .textops import tokens
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup on normalized text hash: keep min doc_id per group.
+    Returns (doc_id, n_copies) for the kept representative."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return (
+        docs.select("doc_id", F.md5(norm).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "n_copies")
+    )
+
+
+def _doc_tokens(docs: DataFrame, text_col: str) -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, num_perm: int = 16, text_col: str = "text", seed: int = 42
+) -> DataFrame:
+    """(doc_id, mh0..mh{P-1}): min over distinct tokens of each
+    permutation of the 28-bit token hash. One explode + one groupBy."""
+    params = minhash_params(num_perm, seed)
+    toks = _doc_tokens(docs, text_col).withColumn("th", md5_small(F.col("tok")))
+    aggs = [
+        F.min(minhash_expr(F.col("th"), a, b)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return toks.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    num_perm: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """LSH banding: rows-per-band = num_perm/bands; docs sharing any
+    band bucket become a candidate pair (doc1 < doc2, distinct)."""
+    assert num_perm % bands == 0
+    rows = num_perm // bands
+    sigs = minhash_signatures(docs, num_perm, text_col, seed)
+    band_cols = [
+        F.concat_ws("_", *[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias("bucket")
+        for b in range(bands)
+    ]
+    stacked = None
+    for b, bc in enumerate(band_cols):
+        part = sigs.select("doc_id", F.lit(b).alias("band"), bc)
+        stacked = part if stacked is None else stacked.unionByName(part)
+    left = stacked.select(F.col("doc_id").alias("doc1"), "band", "bucket")
+    right = stacked.select(F.col("doc_id").alias("doc2"), "band", "bucket")
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text") -> DataFrame:
+    """SimHash over distinct tokens: bit j set iff sum of sign((h>>j)&1)
+    > 0. Computed as ``bits`` conditional-sum agg columns (one shuffle)."""
+    toks = _doc_tokens(docs, text_col).withColumn("th", md5_small(F.col("tok")))
+    aggs = []
+    for j in range(bits):
+        bit = F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{j}"))
+    sums = toks.groupBy("doc_id").agg(*aggs)
+    sh = F.lit(0).cast("long")
+    for j in range(bits):
+        sh = sh + F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return sums.select("doc_id", sh.alias("simhash"))
+
+
+def simhash_dup_groups(docs: DataFrame, bits: int = 32, text_col: str = "text") -> DataFrame:
+    """Docs sharing an identical simhash (near-dup at 0 hamming)."""
+    sh = simhash(docs, bits, text_col)
+    return (
+        sh.groupBy("simhash")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("doc_id", "n_docs")
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, text_col: str = "text"
+) -> DataFrame:
+    """Word-set Jaccard similarity pairs >= threshold.
+
+    |A ∩ B| via token self-join + count, |A ∪ B| = |A| + |B| - |A ∩ B|.
+    The token join is the shuffle; frequent tokens are the skew risk —
+    at scale, drop ultra-frequent tokens first (document frequency cap),
+    which standard MinHash-LSH replaces anyway."""
+    toks = _doc_tokens(docs, text_col)
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        toks.alias("a")
+        .join(toks.alias("b"), "tok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc1", "sz": "sz1"}), "doc1")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc2", "sz": "sz2"}), "doc2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", "jaccard")
+    )

@@ -1,0 +1,95 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` with typed
+metadata. The decode step is STUBBED (no codec libraries in this
+runtime) behind a deterministic fake, clearly marked; the Spark-side
+plumbing — schema, batching, partitioning, UDF signatures — is real and
+tested, so swapping in a real decoder (PIL/torchaudio/ffmpeg) is a
+one-function change.
+
+Patterns:
+- ``mapInPandas`` for decode/feature-extract (Arrow batches of binary);
+- fixed-size feature vectors as array<float> feeding similarity.py;
+- frame sampling returns one row per sampled frame (explode-style
+  iterator output).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, width int, height int, "
+    "duration_ms int"
+)
+FEATURE_DIM = 16
+
+
+def _fake_decode(payload: bytes) -> np.ndarray:
+    """DETERMINISTIC FAKE standing in for a real image/audio decoder —
+    derives a pseudo-pixel array from the payload bytes. Replace with
+    PIL.Image.open / soundfile.read in a codec-enabled runtime."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if len(arr) == 0:
+        arr = np.zeros(1, dtype=np.uint8)
+    reps = int(np.ceil(256 / len(arr)))
+    return np.tile(arr, reps)[:256].astype(np.float32).reshape(16, 16)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """binary payload -> fixed-dim feature vector (mean-pooled rows of
+    the fake-decoded array). Real plumbing: Arrow-batched mapInPandas,
+    array<float> output column."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _fake_decode(p).mean(axis=1)[:FEATURE_DIM].tolist()
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "features": feats}
+            )
+
+    return media.mapInPandas(fn, schema="media_id long, features array<float>")
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing: passes metadata through, recomputes the payload
+    via the fake decoder (marker for the real cv2/PIL resize)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["width"] = np.int32(width)
+            out["height"] = np.int32(height)
+            out["payload"] = [
+                _fake_decode(p)[:1].tobytes() for p in pdf["payload"]
+            ]
+            yield out[["media_id", "kind", "payload", "width", "height", "duration_ms"]]
+
+    return media.mapInPandas(fn, schema=MEDIA_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame sampling plumbing: one output row per sampled frame index
+    (duration_ms // every_ms frames, >= 1). Real decode would slice the
+    container; the fake emits frame indices + per-frame checksum."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "frame_idx": [], "frame_crc": []}
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                n = max(int(dur or 0) // every_ms, 1)
+                base = _fake_decode(payload).sum()
+                for i in range(n):
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(i)
+                    rows["frame_crc"].append(float(base) + i)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, schema="media_id long, frame_idx int, frame_crc double")

@@ -4,37 +4,40 @@ The reference runs a *sequential* FIFO of bisections per level
 (`/root/reference/pkg/partitioner/recursiveBisection.go:37-66`) inside a
 single Go process. Here the while-loop lives on the Spark driver and each
 iteration is ONE distributed job: every oversized cell is bisected in
-parallel by a numpy kernel inside cogrouped ``applyInPandas`` — the big
-scalability win, since the number of cells (and hence parallelism)
-doubles every round. Cut semantics are identical because each cell's
-bisection is independent of all others.
+parallel by a numpy kernel inside cogrouped ``applyInPandas``. Cut
+semantics are identical because each cell's bisection is independent.
 
-Scale design (100 TB / 10^9+ vertices):
+Three execution modes, chosen per round from driver-side cell counts —
+this keeps the cluster busy through the whole bisection tree:
 
-- parallelism unit = cell, not direction job (the 10 direction jobs run
-  as a loop inside one kernel call; a max cell of 2^20 vertices fits one
-  executor, reference main.go:21);
-- per round: 2 equi-joins label edge endpoints with their cell key, then
-  one cogrouped shuffle feeds the kernel. All three shuffle on vertex /
-  cell keys and shrink with the active set; the active-key side of the
-  join is broadcast while small;
-- small-cell fast path: once an active cell is below
-  ``local_recursion_threshold`` the kernel runs the *entire* remaining
-  recursion locally (identical semantics — the reference itself is a
-  local recursion), collapsing O(log n) rounds into one pass. Lower
-  levels therefore complete in a single distributed pass each;
-- cell labels: (root, path) with heap-numbered paths (prefix-free within
-  a root's tree), relabeled per level by the frozen SURVEY.md §7 rule:
-  per parent, non-empty cells by min original vertex id, then empty
-  cells; concatenated in parent-id order. Empty cells (degenerate n<=3
-  splits, assignFinalPartition on a 0-vertex side,
-  recursiveBisection.go:127-136) have no vertex rows — the kernel
-  reports them via the n_empty metric and the driver carries their ids;
-- per-round snapshot + lineage/metrics via plans/checkpoint.py; without
-  a checkpoint dir, ``localCheckpoint`` truncates lineage each round.
+1. **direction-parallel** (few big cells, e.g. round 0's single root):
+   each (cell, direction) pair is its own Spark group — the 10 inertial
+   direction jobs (`inertial_flow.go:123-132`) run as 10 tasks instead
+   of a loop, the driver reduces with the frozen (cut, balance, job)
+   argmin. 10x shuffle volume, 10x parallelism on the serial prefix —
+   the right trade exactly when data-per-round is smallest relative to
+   the cluster;
+2. **cell-parallel** (many big cells): one group per cell, the 10
+   directions loop inside the kernel — parallelism already saturates;
+3. **local-finish** (cell below ``local_recursion_threshold``): the
+   kernel runs the *entire remaining recursion* locally in one call
+   (the reference itself is a local recursion), collapsing O(log n)
+   rounds into one pass. Lower levels typically complete in a single
+   distributed pass.
 
-The only driver-side collects are over *cell metadata* (O(#cells) rows),
-never vertices.
+Scale design (100 TB / 10^9+ vertices): parallelism unit = cell (or
+cell x direction); a max cell of 2^20 vertices fits one executor
+(reference main.go:21). Per round: 2 equi-joins label edge endpoints
+with their cell key, then one cogrouped shuffle feeds the kernel; all
+shuffles shrink with the active set and the active-key side broadcasts.
+Cell labels are (root, path) heap-numbered paths (prefix-free per root),
+relabeled per level by the frozen SURVEY.md §7 rule: per parent,
+non-empty cells by min original vertex id, then empty cells (degenerate
+n<=3 splits — assignFinalPartition on a 0-vertex side,
+recursiveBisection.go:127-136 — have no vertex rows; the kernel reports
+them via n_empty and the driver carries their ids). Per-round snapshots
++ lineage/metrics via plans/checkpoint.py; the only driver-side collects
+are O(#cells) metadata, never vertices.
 """
 
 from __future__ import annotations
@@ -46,6 +49,8 @@ from pyspark.sql import functions as F
 
 from ..config import PartitionConfig
 from ..kernel.bisection import bisect_once, recursive_bisection
+from ..kernel.inertial import direction_jobs, pick_sources_sinks
+from ..kernel.maxflow import FlowGraph, dinic_min_cut
 
 KERNEL_OUT_SCHEMA = (
     "root long, parent_path long, path long, vertex_id long, "
@@ -53,67 +58,79 @@ KERNEL_OUT_SCHEMA = (
     "n int, cut_edges int, part_two int, best_job int, n_empty int"
 )
 
+DIR_OUT_SCHEMA = (
+    "root long, path long, job int, vertex_id long, lat double, lon double, "
+    "side byte, n int, cut_edges int, part_two int"
+)
+
 #: active cells smaller than this finish their whole recursion in one
-#: kernel call (must fit one executor comfortably: ~32k vertices of
-#: int64/float64 arrays plus edges — a few MB)
+#: kernel call (a few MB of int64/float64 arrays per cell)
 DEFAULT_LOCAL_RECURSION_THRESHOLD = 1 << 15
 
 
-def _make_kernel(max_cell_size: int, rate: float, local_threshold: int):
+def _sorted_cell_arrays(vdf: pd.DataFrame, edf: pd.DataFrame):
+    vdf = vdf.sort_values("vertex_id")
+    ids = vdf["vertex_id"].to_numpy(np.int64)
+    lat = vdf["lat"].to_numpy(np.float64)
+    lon = vdf["lon"].to_numpy(np.float64)
+    if len(edf):
+        edf = edf.sort_values(["tail", "edge_id"])
+        tails = edf["tail"].to_numpy(np.int64)
+        heads = edf["head"].to_numpy(np.int64)
+    else:
+        tails = heads = np.empty(0, dtype=np.int64)
+    return ids, lat, lon, tails, heads
+
+
+def _make_finish_kernel(max_cell_size: int, rate: float):
+    """Mode 3: complete the recursion for one small cell."""
+
     def kernel(key, vdf: pd.DataFrame, edf: pd.DataFrame) -> pd.DataFrame:
         root, path = int(key[0]), int(key[1])
-        vdf = vdf.sort_values("vertex_id")
-        ids = vdf["vertex_id"].to_numpy(np.int64)
-        lat = vdf["lat"].to_numpy(np.float64)
-        lon = vdf["lon"].to_numpy(np.float64)
-        n = len(ids)
-        if len(edf):
-            edf = edf.sort_values(["tail", "edge_id"])
-            tails = edf["tail"].to_numpy(np.int64)
-            heads = edf["head"].to_numpy(np.int64)
-        else:
-            tails = heads = np.empty(0, dtype=np.int64)
-
-        def out(child_path, sel, cut, part_two, best_job, n_empty):
-            return pd.DataFrame(
-                {
-                    "root": np.int64(root),
-                    "parent_path": np.int64(path),
-                    "path": np.int64(child_path),
-                    "vertex_id": ids[sel],
-                    "lat": lat[sel],
-                    "lon": lon[sel],
-                    "n": np.int32(n),
-                    "cut_edges": np.int32(cut),
-                    "part_two": np.int32(part_two),
-                    "best_job": np.int32(best_job),
-                    "n_empty": np.int32(n_empty),
-                }
+        ids, lat, lon, tails, heads = _sorted_cell_arrays(vdf, edf)
+        la = dict(zip(ids.tolist(), lat.tolist()))
+        lo = dict(zip(ids.tolist(), lon.tolist()))
+        res = recursive_bisection(ids, la, lo, tails, heads, max_cell_size, rate)
+        nonempty = [c for c in res.cells if len(c)]
+        n_empty = len(res.cells) - len(nonempty)
+        bits = max(int(np.ceil(np.log2(len(res.cells) + 1))), 1)
+        frames = []
+        for i, cell in enumerate(nonempty):
+            sel = np.isin(ids, cell)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "root": np.int64(root),
+                        "parent_path": np.int64(path),
+                        "path": np.int64((path << bits) | i),
+                        "vertex_id": ids[sel],
+                        "lat": lat[sel],
+                        "lon": lon[sel],
+                        "n": np.int32(len(ids)),
+                        "cut_edges": np.int32(-1),
+                        "part_two": np.int32(-1),
+                        "best_job": np.int32(-1),
+                        "n_empty": np.int32(n_empty),
+                    }
+                )
             )
+        return pd.concat(frames, ignore_index=True)
 
-        if n < local_threshold or n < 4:
-            # finish the whole recursion locally (reference semantics —
-            # the reference is itself a sequential local recursion)
-            la = dict(zip(ids.tolist(), lat.tolist()))
-            lo = dict(zip(ids.tolist(), lon.tolist()))
-            res = recursive_bisection(ids, la, lo, tails, heads, max_cell_size, rate)
-            nonempty = [c for c in res.cells if len(c)]
-            n_empty = len(res.cells) - len(nonempty)
-            bits = max(int(np.ceil(np.log2(len(res.cells) + 1))), 1)
-            frames = [
-                out((path << bits) | i, np.isin(ids, cell), -1, -1, -1, n_empty)
-                for i, cell in enumerate(nonempty)
-            ]
-            return pd.concat(frames, ignore_index=True)
+    return kernel
 
+
+def _make_bisect_kernel(rate: float):
+    """Mode 2: one bisection per cell, 10 directions in-process."""
+
+    def kernel(key, vdf: pd.DataFrame, edf: pd.DataFrame) -> pd.DataFrame:
+        root, path = int(key[0]), int(key[1])
+        ids, lat, lon, tails, heads = _sorted_cell_arrays(vdf, edf)
         side, st = bisect_once(ids, lat, lon, tails, heads, rate)
-        n_empty = 1 if st.part_two == st.n else 0  # empty partition-one side
-        child = (np.int64(path) << 1) | side.astype(np.int64)
-        df = pd.DataFrame(
+        return pd.DataFrame(
             {
                 "root": np.int64(root),
                 "parent_path": np.int64(path),
-                "path": child,
+                "path": (np.int64(path) << 1) | side.astype(np.int64),
                 "vertex_id": ids,
                 "lat": lat,
                 "lon": lon,
@@ -121,12 +138,72 @@ def _make_kernel(max_cell_size: int, rate: float, local_threshold: int):
                 "cut_edges": np.int32(st.cut_edges),
                 "part_two": np.int32(st.part_two),
                 "best_job": np.int32(st.best_job),
-                "n_empty": np.int32(n_empty),
+                "n_empty": np.int32(1 if st.part_two == st.n else 0),
             }
         )
-        return df
 
     return kernel
+
+
+def _make_direction_kernel(rate: float):
+    """Mode 1: one (cell, direction) pair per group — a single Dinic run.
+
+    Mirrors one minCutJob of computeInertialFlowDinic
+    (inertial_flow.go:134-149); the driver performs the frozen
+    (cut_edges, balance, job) argmin across the 10 groups of a cell."""
+
+    def kernel(key, vdf: pd.DataFrame, edf: pd.DataFrame) -> pd.DataFrame:
+        root, path, job = int(key[0]), int(key[1]), int(key[2])
+        ids, lat, lon, tails, heads = _sorted_cell_arrays(vdf, edf)
+        n = len(ids)
+        lt = np.searchsorted(ids, tails)
+        lh = np.searchsorted(ids, heads)
+        a, b = direction_jobs()[job]
+        proj = a * lon + b * lat
+        sources, sinks = pick_sources_sinks(proj, rate)
+        if len(sources) == 0:
+            flags = np.zeros(n, dtype=bool)
+            part_two, cut = n, 0
+        else:
+            graph = FlowGraph.from_directed_edges(n, lt, lh)
+            flags, part_two, cut, _ = dinic_min_cut(graph, sources, sinks)
+        return pd.DataFrame(
+            {
+                "root": np.int64(root),
+                "path": np.int64(path),
+                "job": np.int32(job),
+                "vertex_id": ids,
+                "lat": lat,
+                "lon": lon,
+                "side": (~flags).astype(np.int8),
+                "n": np.int32(n),
+                "cut_edges": np.int32(cut),
+                "part_two": np.int32(part_two),
+            }
+        )
+
+    return kernel
+
+
+def _label_edges(edges: DataFrame, active: DataFrame) -> DataFrame:
+    """J3 semi-join: label both endpoints, keep intra-cell edges."""
+    vmap = active.select(F.col("vertex_id").alias("v"), "root", "path")
+    return (
+        edges.join(
+            vmap.withColumnsRenamed({"v": "tail", "root": "rt", "path": "pt"}), "tail"
+        )
+        .join(
+            vmap.withColumnsRenamed({"v": "head", "root": "rh", "path": "ph"}), "head"
+        )
+        .filter((F.col("rt") == F.col("rh")) & (F.col("pt") == F.col("ph")))
+        .select(
+            "edge_id",
+            "tail",
+            "head",
+            F.col("rt").alias("root"),
+            F.col("pt").alias("path"),
+        )
+    )
 
 
 def _run_level(
@@ -139,93 +216,161 @@ def _run_level(
     metrics_rows: list,
     checkpoint=None,
 ) -> tuple[DataFrame, dict[int, int]]:
-    """Run bisection rounds for one level.
-
-    ``assign``: (vertex_id, lat, lon, root, path) with path=1 per parent
-    tree root. Round 0 bisects every cell (Partition() is called per
-    parent unconditionally, multilevel_partitioner.go:59-68); later
-    rounds only cells with count >= max_cell_size. Returns the final
-    assign plus degenerate-empty counts per root.
-    """
+    """Bisection rounds for one level. Round 0 bisects every cell
+    (Partition() runs per parent unconditionally,
+    multilevel_partitioner.go:59-68); later rounds only cells with
+    count >= max_cell_size."""
+    spark = assign.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
     empties: dict[int, int] = {}
     rnd = 0
     while True:
         counts = assign.groupBy("root", "path").count()
-        active_keys = counts if rnd == 0 else counts.filter(F.col("count") >= max_cell_size)
-        keys = [(r["root"], r["path"]) for r in active_keys.select("root", "path").collect()]
-        if not keys:
+        active_rows = (
+            counts if rnd == 0 else counts.filter(F.col("count") >= max_cell_size)
+        ).collect()
+        if not active_rows:
             break
+        small_keys = [
+            (r["root"], r["path"]) for r in active_rows if r["count"] < local_threshold
+        ]
+        big_keys = [
+            (r["root"], r["path"]) for r in active_rows if r["count"] >= local_threshold
+        ]
+        all_keys = small_keys + big_keys
 
-        ak = F.broadcast(
-            active_keys.sparkSession.createDataFrame(keys, "root long, path long")
-        )
-        active = assign.join(ak, ["root", "path"], "inner")
+        ak = F.broadcast(spark.createDataFrame(all_keys, "root long, path long"))
         inactive = assign.join(ak, ["root", "path"], "left_anti")
+        frames = [inactive.select("root", "path", "vertex_id", "lat", "lon")]
+        to_unpersist = []
 
-        # J3 semi-join: label both edge endpoints, keep intra-cell edges
-        vmap = active.select(F.col("vertex_id").alias("v"), "root", "path")
-        e_act = (
-            edges.join(
-                vmap.withColumnsRenamed({"v": "tail", "root": "rt", "path": "pt"}),
-                "tail",
+        def run_cell_mode(keys, kernel):
+            kdf = F.broadcast(spark.createDataFrame(keys, "root long, path long"))
+            act = assign.join(kdf, ["root", "path"], "inner")
+            e_act = _label_edges(edges, act)
+            out = (
+                act.groupBy("root", "path")
+                .cogroup(e_act.groupBy("root", "path"))
+                .applyInPandas(kernel, schema=KERNEL_OUT_SCHEMA)
             )
-            .join(
-                vmap.withColumnsRenamed({"v": "head", "root": "rh", "path": "ph"}),
-                "head",
+            frames.append(out.select("root", "path", "vertex_id", "lat", "lon"))
+            m = (
+                out.groupBy("root", "parent_path")
+                .agg(
+                    F.first("n").alias("n"),
+                    F.first("cut_edges").alias("cut_edges"),
+                    F.first("part_two").alias("part_two"),
+                    F.first("best_job").alias("best_job"),
+                    F.first("n_empty").alias("n_empty"),
+                )
+                .collect()
             )
-            .filter((F.col("rt") == F.col("rh")) & (F.col("pt") == F.col("ph")))
-            .select(
-                "edge_id",
-                "tail",
-                "head",
-                F.col("rt").alias("root"),
-                F.col("pt").alias("path"),
-            )
-        )
+            for r in m:
+                metrics_rows.append(
+                    {
+                        "level": level,
+                        "round": rnd,
+                        "root": r["root"],
+                        "parent_path": r["parent_path"],
+                        "n": r["n"],
+                        "cut_edges": r["cut_edges"],
+                        "part_two": r["part_two"],
+                        "best_job": r["best_job"],
+                        "n_empty": r["n_empty"],
+                        "mode": "cell",
+                    }
+                )
+                if r["n_empty"]:
+                    empties[r["root"]] = empties.get(r["root"], 0) + int(r["n_empty"])
 
-        kernel = _make_kernel(max_cell_size, rate, local_threshold)
-        out = (
-            active.groupBy("root", "path")
-            .cogroup(e_act.groupBy("root", "path"))
-            .applyInPandas(kernel, schema=KERNEL_OUT_SCHEMA)
-        )
+        if small_keys:
+            run_cell_mode(small_keys, _make_finish_kernel(max_cell_size, rate))
 
-        assign = out.select("root", "path", "vertex_id", "lat", "lon").unionByName(
-            inactive.select("root", "path", "vertex_id", "lat", "lon")
-        )
+        if big_keys:
+            if len(big_keys) < parallelism:
+                # mode 1: explode each big cell into 10 direction groups
+                kdf = F.broadcast(
+                    spark.createDataFrame(big_keys, "root long, path long")
+                )
+                act = assign.join(kdf, ["root", "path"], "inner")
+
+                def _jobs():  # fresh frame each side (self-join ambiguity)
+                    return spark.createDataFrame(
+                        [(j,) for j in range(10)], "job int"
+                    )
+
+                act10 = act.crossJoin(F.broadcast(_jobs()))
+                e_act = _label_edges(edges, act)
+                e10 = e_act.crossJoin(F.broadcast(_jobs()))
+                out = (
+                    act10.groupBy("root", "path", "job")
+                    .cogroup(e10.groupBy("root", "path", "job"))
+                    .applyInPandas(_make_direction_kernel(rate), schema=DIR_OUT_SCHEMA)
+                    .persist()
+                )
+                to_unpersist.append(out)
+                m = (
+                    out.groupBy("root", "path", "job")
+                    .agg(
+                        F.first("n").alias("n"),
+                        F.first("cut_edges").alias("cut_edges"),
+                        F.first("part_two").alias("part_two"),
+                    )
+                    .collect()
+                )
+                # frozen argmin (cut, balance, job) per cell (SURVEY.md §7)
+                best: dict[tuple[int, int], tuple] = {}
+                for r in m:
+                    balance = abs(r["n"] // 2 - r["part_two"])
+                    k = (r["root"], r["path"])
+                    key = (r["cut_edges"], balance, r["job"])
+                    if k not in best or key < best[k][0]:
+                        best[k] = (key, r)
+                winners = [
+                    (k[0], k[1], int(v[0][2])) for k, v in best.items()
+                ]
+                wdf = F.broadcast(
+                    spark.createDataFrame(winners, "root long, path long, job int")
+                )
+                chosen = out.join(wdf, ["root", "path", "job"], "inner")
+                frames.append(
+                    chosen.select(
+                        "root",
+                        ((F.col("path") * 2) + F.col("side").cast("long")).alias("path"),
+                        "vertex_id",
+                        "lat",
+                        "lon",
+                    )
+                )
+                for (root, path), (key, r) in best.items():
+                    metrics_rows.append(
+                        {
+                            "level": level,
+                            "round": rnd,
+                            "root": root,
+                            "parent_path": path,
+                            "n": r["n"],
+                            "cut_edges": r["cut_edges"],
+                            "part_two": r["part_two"],
+                            "best_job": r["job"],
+                            "n_empty": 1 if r["part_two"] == r["n"] else 0,
+                            "mode": "direction",
+                        }
+                    )
+                    if r["part_two"] == r["n"]:
+                        empties[root] = empties.get(root, 0) + 1
+            else:
+                run_cell_mode(big_keys, _make_bisect_kernel(rate))
+
+        new_assign = frames[0]
+        for fr in frames[1:]:
+            new_assign = new_assign.unionByName(fr)
         if checkpoint is not None:
-            assign = checkpoint.snapshot_round(assign, level, rnd)
+            assign = checkpoint.snapshot_round(new_assign, level, rnd)
         else:
-            assign = assign.localCheckpoint(eager=True)
-
-        # per-parent metrics (one row per bisected cell) — O(#cells)
-        m = (
-            out.groupBy("root", "parent_path")
-            .agg(
-                F.first("n").alias("n"),
-                F.first("cut_edges").alias("cut_edges"),
-                F.first("part_two").alias("part_two"),
-                F.first("best_job").alias("best_job"),
-                F.first("n_empty").alias("n_empty"),
-            )
-            .collect()
-        )
-        for r in m:
-            metrics_rows.append(
-                {
-                    "level": level,
-                    "round": rnd,
-                    "root": r["root"],
-                    "parent_path": r["parent_path"],
-                    "n": r["n"],
-                    "cut_edges": r["cut_edges"],
-                    "part_two": r["part_two"],
-                    "best_job": r["best_job"],
-                    "n_empty": r["n_empty"],
-                }
-            )
-            if r["n_empty"]:
-                empties[r["root"]] = empties.get(r["root"], 0) + int(r["n_empty"])
+            assign = new_assign.localCheckpoint(eager=True)
+        for df in to_unpersist:
+            df.unpersist()
         rnd += 1
     return assign, empties
 
@@ -238,8 +383,7 @@ def _relabel_level(
 ) -> tuple[DataFrame, int, list[int]]:
     """Frozen numbering: per parent root (in root-id order): non-empty
     cells by min original vertex id, then that root's empty cells; empty
-    roots contribute 2 empty child cells in place. Returns (assign with
-    final cell ids, num_cells, empty child cell ids)."""
+    roots contribute 2 empty child cells in place."""
     meta = (
         assign.groupBy("root", "path")
         .agg(F.min("vertex_id").alias("min_vid"))
@@ -247,15 +391,16 @@ def _relabel_level(
     )
     by_root: dict[int, list] = {}
     for r in meta:
-        by_root.setdefault(int(r["root"]), []).append((int(r["min_vid"]), int(r["path"])))
-    mapping: list[tuple[int, int, int]] = []  # (root, path, cell_id)
+        by_root.setdefault(int(r["root"]), []).append(
+            (int(r["min_vid"]), int(r["path"]))
+        )
+    mapping: list[tuple[int, int, int]] = []
     empty_ids: list[int] = []
     empty_root_set = set(empty_roots)
     cid = 0
     for root in range(n_roots):
         if root in empty_root_set:
-            # Partition() on an empty cell -> two empty final cells
-            empty_ids.extend([cid, cid + 1])
+            empty_ids.extend([cid, cid + 1])  # Partition(empty) -> 2 empty cells
             cid += 2
             continue
         for _mv, path in sorted(by_root.get(root, [])):
@@ -287,11 +432,11 @@ def multilevel_partition(
 
     ``vertices``: (vertex_id long, lat double, lon double);
     ``edges``: (edge_id long, tail long, head long) — one row per
-    undirected unit-capacity edge (kernel adds both directions,
+    undirected unit-capacity edge (the kernel adds both directions,
     partition_graph.go:216-229).
 
-    Returns (assignment DataFrame (vertex_id, level, cell_id),
-    num_cells per level, metrics DataFrame with per-bisection lineage).
+    Returns (assignment (vertex_id, level, cell_id), num_cells per
+    level incl. empty cells, metrics with per-bisection lineage).
     """
     config = config or PartitionConfig()
     L = config.levels
@@ -301,15 +446,17 @@ def multilevel_partition(
     metrics_rows: list = []
 
     assign = vertices.select(
-        "vertex_id", "lat", "lon", F.lit(0).cast("long").alias("root"), F.lit(1).cast("long").alias("path")
+        "vertex_id",
+        "lat",
+        "lon",
+        F.lit(0).cast("long").alias("root"),
+        F.lit(1).cast("long").alias("path"),
     )
     edges = edges.select("edge_id", "tail", "head")
 
     level_frames: list[DataFrame] = []
     num_cells: list[int] = [0] * L
-    empty_roots: list[int] = []
 
-    # top level L-1: only partition if n > U (multilevel_partitioner.go:48-55)
     top_u = cell_sizes[L - 1]
     if n > top_u:
         a, empties = _run_level(
@@ -318,7 +465,9 @@ def multilevel_partition(
         )
         labeled, c, empty_ids = _relabel_level(a, empties, [], 1)
     else:
-        labeled = assign.select("vertex_id", "lat", "lon", F.lit(0).cast("long").alias("cell_id"))
+        labeled = assign.select(
+            "vertex_id", "lat", "lon", F.lit(0).cast("long").alias("cell_id")
+        )
         c, empty_ids = 1, []
     num_cells[L - 1] = c
     empty_roots = empty_ids
@@ -326,13 +475,15 @@ def multilevel_partition(
         labeled.select("vertex_id", F.lit(L - 1).alias("level"), "cell_id")
     )
 
-    # lower levels: Partition() per parent cell, unconditionally
     current = labeled
     for level in range(L - 2, -1, -1):
         u = cell_sizes[level]
         a0 = current.select(
-            "vertex_id", "lat", "lon",
-            F.col("cell_id").alias("root"), F.lit(1).cast("long").alias("path"),
+            "vertex_id",
+            "lat",
+            "lon",
+            F.col("cell_id").alias("root"),
+            F.lit(1).cast("long").alias("path"),
         )
         a, empties = _run_level(
             a0, edges, u, rate, local_recursion_threshold, level,
@@ -353,10 +504,19 @@ def multilevel_partition(
         result = result.unionByName(fr)
     metrics_schema = (
         "level int, round int, root long, parent_path long, n int, "
-        "cut_edges int, part_two int, best_job int, n_empty int"
+        "cut_edges int, part_two int, best_job int, n_empty int, mode string"
     )
     metrics = spark.createDataFrame(
-        [tuple(r.values()) for r in metrics_rows] if metrics_rows else [],
+        [
+            (
+                r["level"], r["round"], r["root"], r["parent_path"], r["n"],
+                r["cut_edges"], r["part_two"], r["best_job"], r["n_empty"],
+                r["mode"],
+            )
+            for r in metrics_rows
+        ]
+        if metrics_rows
+        else [],
         metrics_schema,
     )
     if checkpoint is not None:

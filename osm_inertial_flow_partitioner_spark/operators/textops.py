@@ -1,0 +1,115 @@
+"""Text-analysis operators over a documents table (doc_id, text, lang).
+
+All pure Catalyst column expressions (JVM, codegen) — token counting,
+quality scoring, language-ID heuristic, fingerprinting. Each has an
+exact ANSI-SQL oracle (see __spark_entry__.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+# languages scored by tiny marker lexicons (deterministic heuristic;
+# the real signal in CC data would be charset n-grams — same plumbing)
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "et", "la"],
+    "es": ["el", "y", "de"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of lower-cased text, empty tokens dropped
+    (matches DuckDB's string_split semantics when filtered)."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def avg_token_len(text: Column) -> Column:
+    t = tokens(text)
+    return F.round(
+        F.aggregate(t, F.lit(0.0), lambda acc, x: acc + F.length(x))
+        / F.greatest(F.size(t), F.lit(1)),
+        6,
+    )
+
+
+def stopword_ratio(text: Column) -> Column:
+    t = tokens(text)
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_sw = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+    return F.round(n_sw / F.greatest(F.size(t), F.lit(1)), 6)
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[^\w\s]", "")
+    return F.round(
+        (F.length(text) - F.length(stripped)) / F.greatest(F.length(text), F.lit(1)), 6
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score: length band + lexical diversity -
+    stopword excess - punctuation noise (deterministic, SQL-mirrorable)."""
+    tc = token_count(text)
+    diversity = distinct_token_count(text) / F.greatest(tc, F.lit(1))
+    len_ok = F.when((tc >= 10) & (tc <= 5000), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round(
+        len_ok * (F.lit(0.5) + F.lit(0.5) * diversity)
+        - F.lit(0.25) * punct_ratio(text),
+        6,
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """N-gram/lexicon language-ID heuristic: argmax of marker hits, ties
+    to 'und'. Mirrors a CASE chain in SQL."""
+    t = tokens(text)
+    scores = {
+        lang: F.size(
+            F.filter(t, lambda x: F.array_contains(F.array(*[F.lit(m) for m in ms]), x))
+        )
+        for lang, ms in LANG_MARKERS.items()
+    }
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(LANG_MARKERS):  # deterministic tie order
+        cond = scores[lang] > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    return best
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: 60-bit hash of whitespace-normalized,
+    lower-cased text (stable across engines via md5)."""
+    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return md5_long(norm)
+
+
+def document_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        token_count(t).cast("long").alias("n_tokens"),
+        distinct_token_count(t).cast("long").alias("n_distinct_tokens"),
+        avg_token_len(t).alias("avg_token_len"),
+        stopword_ratio(t).alias("stopword_ratio"),
+        punct_ratio(t).alias("punct_ratio"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fingerprint"),
+    )

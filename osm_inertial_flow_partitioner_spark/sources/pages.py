@@ -47,7 +47,9 @@ def cluster_centers(seed: int = 42) -> np.ndarray:
     return np.stack([lat, lon], axis=1)
 
 
-def generate_pages(spark: SparkSession, n_docs: int, seed: int = 42) -> DataFrame:
+def generate_pages(
+    spark: SparkSession, n_docs: int, seed: int = 42, num_partitions: int | None = None
+) -> DataFrame:
     centers = cluster_centers(seed)
 
     def gen(batches):
@@ -91,4 +93,9 @@ def generate_pages(spark: SparkSession, n_docs: int, seed: int = 42) -> DataFram
                 }
             )
 
-    return spark.range(n_docs).mapInPandas(gen, schema=PAGES_SCHEMA)
+    rng_df = (
+        spark.range(n_docs)
+        if num_partitions is None
+        else spark.range(0, n_docs, 1, num_partitions)
+    )
+    return rng_df.mapInPandas(gen, schema=PAGES_SCHEMA)

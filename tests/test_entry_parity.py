@@ -1,0 +1,81 @@
+"""Spark queries() vs DuckDB oracle_sql() parity — mirrors the driver's
+correctness gate (row count + schema shape + order-insensitive values,
+columns sorted by name) at sf0.001 for speed; the driver runs sf0.01.
+"""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as E
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _normalize(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = round(v, 9)
+                if v == -0.0:
+                    v = 0.0
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+ALL = sorted(set(E.queries()) & set(E.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_query_matches_oracle(spark, ddb, name):
+    qdf = E.queries()[name](spark, SF_DIR)
+    srows = [tuple(r) for r in qdf.collect()]
+    scols = qdf.columns
+    ores = ddb.sql(E.oracle_sql()[name])
+    orows = ores.fetchall()
+    ocols = [d[0] for d in ores.description]
+    assert sorted(scols) == sorted(ocols), f"{name}: column names differ"
+    assert len(srows) == len(orows), f"{name}: row count {len(srows)} vs {len(orows)}"
+    sn = _normalize(srows, scols)
+    on = _normalize(orows, ocols)
+    mismatches = [i for i, (a, b) in enumerate(zip(sn, on)) if a != b]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} mismatched rows; first: "
+        f"{sn[mismatches[0]]} vs {on[mismatches[0]]}"
+    )
+
+
+def test_rows_only_queries_run(spark):
+    only_rows = set(E.queries()) - set(E.oracle_sql())
+    assert "tile_assignment" in only_rows
+    for name in sorted(only_rows):
+        df = E.queries()[name](spark, SF_DIR)
+        assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"vertex_id", "level", "cell_id"}

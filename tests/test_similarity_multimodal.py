@@ -1,0 +1,131 @@
+"""Similarity search (brute vs LSH), dedup operators on planted dups,
+and multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osm_inertial_flow_partitioner_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    simhash_dup_groups,
+)
+from osm_inertial_flow_partitioner_spark.operators.multimodal import (
+    extract_features,
+    resize_stub,
+    sample_frames,
+)
+from osm_inertial_flow_partitioner_spark.operators.similarity import (
+    cosine_topk_brute,
+    cosine_topk_lsh,
+    embedding_near_dup,
+)
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((50, 16))
+    # plant near-duplicates: 45..49 are tiny perturbations of 0..4
+    for i in range(5):
+        base[45 + i] = base[i] + rng.standard_normal(16) * 0.01
+    return spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    ).cache()
+
+
+def test_brute_topk_finds_planted_dups(embeddings):
+    q = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    top = cosine_topk_brute(embeddings, q, k=1).collect()
+    got = {r["query_id"]: r["neighbor_id"] for r in top}
+    assert got == {i: 45 + i for i in range(5)}
+
+
+def test_lsh_topk_recall_on_planted_dups(embeddings):
+    q = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    top = cosine_topk_lsh(embeddings, q, k=1, n_planes=4, dim=16).collect()
+    got = {r["query_id"]: r["neighbor_id"] for r in top}
+    # near-identical vectors share all hyperplane signs -> same bucket
+    assert got == {i: 45 + i for i in range(5)}
+
+
+def test_embedding_near_dup_pairs(embeddings):
+    pairs = embedding_near_dup(embeddings, threshold=0.99, n_planes=4, dim=16)
+    got = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    assert {(i, 45 + i) for i in range(5)} <= got
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    rows = []
+    for i in range(20):
+        text = f"unique document number {i} with content token{i} extra words here"
+        rows.append((i, text))
+    # exact dups (whitespace-normalized)
+    rows.append((100, rows[0][1] + " "))
+    rows.append((101, rows[1][1]))
+    # near dup (one word changed)
+    rows.append((102, rows[2][1].replace("extra", "additional")))
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup_finds_planted(dup_docs):
+    kept = exact_dedup(dup_docs).collect()
+    n_copies = {r["doc_id"]: r["n_copies"] for r in kept}
+    assert n_copies[0] == 2 and n_copies[1] == 2
+    assert 100 not in n_copies and 101 not in n_copies
+    assert n_copies[2] == 1  # near-dup is NOT an exact dup
+
+
+def test_lsh_pairs_catch_near_dup(dup_docs):
+    pairs = {(r["doc1"], r["doc2"]) for r in lsh_candidate_pairs(dup_docs, num_perm=8, bands=4).collect()}
+    assert (0, 100) in pairs and (1, 101) in pairs
+    assert (2, 102) in pairs  # 1-word diff shares most minhashes
+
+
+def test_simhash_groups_exact_dups(dup_docs):
+    groups = {r["doc_id"]: r["n_docs"] for r in simhash_dup_groups(dup_docs, bits=32).collect()}
+    assert groups.get(0) == 2 and groups.get(1) == 2
+
+
+def test_jaccard_pairs_score(dup_docs):
+    pairs = {(r["doc1"], r["doc2"]): r["jaccard"] for r in jaccard_pairs(dup_docs, 0.5).collect()}
+    assert pairs[(0, 100)] == 1.0
+    assert 0.7 < pairs[(2, 102)] < 1.0
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (i, "image", bytes([i % 256] * 64), 8, 8, 0) for i in range(6)
+    ] + [(10, "video", b"\x01\x02\x03", 0, 0, 3500)]
+    return spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, width int, height int, duration_ms int",
+    )
+
+
+def test_multimodal_feature_plumbing(media):
+    feats = extract_features(media).collect()
+    assert len(feats) == 7
+    assert all(len(r["features"]) == 16 for r in feats)
+    # deterministic
+    again = extract_features(media).collect()
+    assert {r["media_id"]: r["features"] for r in feats} == {
+        r["media_id"]: r["features"] for r in again
+    }
+
+
+def test_multimodal_resize_and_frames(media):
+    rs = resize_stub(media, 4, 4)
+    assert rs.filter((F.col("width") != 4) | (F.col("height") != 4)).count() == 0
+    frames = sample_frames(media, every_ms=1000).collect()
+    vid = [r for r in frames if r["media_id"] == 10]
+    assert len(vid) == 3  # 3500ms // 1000
+    assert [r["frame_idx"] for r in sorted(vid, key=lambda r: r["frame_idx"])] == [0, 1, 2]
