@@ -47,8 +47,26 @@ from .operators.spatial import (
     point_in_polygon_join,
     raster_to_vector_rollup,
 )
+from .functions.geometry import polyline_encode_udf, rdp_simplify_udf
+from .operators.multimodal import extract_features
 from .operators.textops import document_stats
+from .operators.waygraph import (
+    ACCEPTED_HIGHWAY,
+    DEFAULT_SPEED,
+    accepted_ways,
+    add_dummy_self_edges,
+    referenced_nodes,
+    segment_edges,
+    split_at_barriers,
+    way_segments,
+)
 from .sources.extract import knn_adjacency
+from .sources.way_fixtures import (
+    nodes_df,
+    nodes_values_sql,
+    ways_df,
+    ways_values_sql,
+)
 
 # ---------------------------------------------------------------------------
 # shared derivations (identical arithmetic Spark <-> DuckDB)
@@ -395,6 +413,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_hourly_rollup"] = lambda spark, sf: hourly_rollup(_t(spark, sf, "events"))
 
+    # ---- way-graph construction (reference parse/build phase) ----
+    def way_filter(spark, sf):
+        return accepted_ways(ways_df(spark)).select(
+            "way_id", "highway", F.size("nodes").cast("long").alias("n_nodes")
+        )
+
+    q["way_filter"] = way_filter
+
+    def way_segments_q(spark, sf):
+        return way_segments(ways_df(spark)).select(
+            "way_id", F.col("seg").cast("long").alias("seg"),
+            F.col("pos").cast("long").alias("pos"), "node_id",
+        )
+
+    q["way_segments"] = way_segments_q
+
+    def way_edges(spark, sf):
+        w, n = ways_df(spark), nodes_df(spark)
+        return add_dummy_self_edges(segment_edges(w, n), referenced_nodes(w, n))
+
+    q["way_edges"] = way_edges
+
+    # ---- geometry kernels (rows-only: pandas UDFs, no SQL twin) ----
+    def rdp_polyline(spark, sf):
+        w, n = ways_df(spark), nodes_df(spark)
+        segs = way_segments(w).join(n.select("node_id", "lat", "lon"), "node_id")
+        geom = (
+            segs.orderBy("way_id", "seg", "pos")
+            .groupBy("way_id", "seg")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("pos", F.struct("lat", "lon").alias("p")))
+                ).alias("sorted")
+            )
+            .select(
+                "way_id", "seg", F.transform("sorted", lambda s: s["p"]).alias("geom")
+            )
+        )
+        return geom.select(
+            "way_id",
+            "seg",
+            F.size(rdp_simplify_udf(F.col("geom"))).alias("n_simplified"),
+            polyline_encode_udf(F.col("geom")).alias("polyline"),
+        )
+
+    q["rdp_polyline"] = rdp_polyline
+
+    def barrier_split(spark, sf):
+        w, n = ways_df(spark), nodes_df(spark)
+        return split_at_barriers(way_segments(w), n)
+
+    q["barrier_split"] = barrier_split
+
+    def multimodal_features(spark, sf):
+        media = spark.createDataFrame(
+            [(i, "image", bytes([i % 7] * 32), 8, 8, 0) for i in range(20)],
+            "media_id long, kind string, payload binary, width int, height int, duration_ms int",
+        )
+        return extract_features(media)
+
+    q["multimodal_features"] = multimodal_features
+
     # ---- non-SQL-expressible: the flagship tiling (rows-only check) ----
     def tile_assignment(spark, sf):
         docs = _t(spark, sf, "documents")
@@ -501,6 +581,82 @@ def _pip_sql() -> str:
         "UNION ALL "
         f"SELECT point_id, 3::BIGINT FROM p WHERE {tri}"
     )
+
+
+def _way_cte() -> str:
+    hw = ", ".join(f"'{h}'" for h in ACCEPTED_HIGHWAY)
+    return (
+        f"ways AS (SELECT * FROM {ways_values_sql()}), "
+        f"nodes AS (SELECT * FROM {nodes_values_sql()}), "
+        f"aw AS (SELECT * FROM ways WHERE (highway IN ({hw}) "
+        f"OR coalesce(junction, '') <> '') AND len(nodes) >= 2), "
+        "ex AS (SELECT way_id, unnest(nodes)::BIGINT AS node_id, "
+        "(generate_subscripts(nodes, 1) - 1)::BIGINT AS pos, "
+        "len(nodes) AS n_nodes FROM aw), "
+        "wc AS (SELECT node_id, count(DISTINCT way_id) AS n_ways FROM ex GROUP BY node_id), "
+        "jn AS (SELECT e.way_id, e.pos, e.node_id, "
+        "CASE WHEN wc.n_ways > 1 AND e.pos > 0 AND e.pos < e.n_nodes - 1 "
+        "THEN 1 ELSE 0 END AS is_junc FROM ex e JOIN wc USING (node_id)), "
+        "segs0 AS (SELECT way_id, pos, node_id, is_junc, "
+        "sum(is_junc) OVER (PARTITION BY way_id ORDER BY pos) AS seg FROM jn), "
+        "segs AS (SELECT way_id, seg::BIGINT AS seg, pos, node_id FROM segs0 "
+        "UNION ALL SELECT way_id, (seg - 1)::BIGINT, pos, node_id FROM segs0 WHERE is_junc = 1)"
+    )
+
+
+def _speed_case_sql() -> str:
+    num = "nullif(regexp_extract(maxspeed, '^\\s*(\\d+(?:\\.\\d+)?)', 1), '')::DOUBLE"
+    fb = "30.0"
+    for k, v in sorted(DEFAULT_SPEED.items()):
+        fb = f"CASE WHEN highway = '{k}' THEN {v} ELSE {fb} END"
+    return (
+        f"CASE WHEN {num} IS NOT NULL AND {num} > 0 THEN "
+        f"(CASE WHEN regexp_matches(maxspeed, '(?i)mph') THEN {num} * 1.609344 "
+        f"WHEN regexp_matches(maxspeed, '(?i)knots?') THEN {num} * 1.852 "
+        f"ELSE {num} END) ELSE {fb} END"
+    )
+
+
+def _way_edges_sql() -> str:
+    hav = _HAVERSINE_SQL.format(
+        lat1="lag(lat) OVER w", lon1="lag(lon) OVER w", lat2="lat", lon2="lon"
+    )
+    speed = _speed_case_sql()
+    return f"""
+        WITH {_way_cte()},
+        pts AS (SELECT s.way_id, s.seg, s.pos, s.node_id, n.lat, n.lon
+                FROM segs s JOIN nodes n USING (node_id)),
+        hops AS (SELECT way_id, seg, pos, node_id,
+                   coalesce({hav}, 0.0) * 1000.0 AS hop_m
+                 FROM pts WINDOW w AS (PARTITION BY way_id, seg ORDER BY pos)),
+        per_seg AS (SELECT way_id, seg, sum(hop_m) AS dist_m,
+                      arg_min(node_id, pos) AS first_node,
+                      arg_max(node_id, pos) AS last_node,
+                      count(*) AS n_pts
+                    FROM hops GROUP BY way_id, seg),
+        ok AS (SELECT * FROM per_seg WHERE n_pts >= 2 AND first_node <> last_node),
+        e AS (SELECT ok.*, w.highway, w.junction, w.oneway, w.maxspeed,
+                ({speed}) AS speed_kmh,
+                (coalesce(w.oneway, '') IN ('yes', '1', 'true', '-1')
+                 OR coalesce(w.junction, '') = 'roundabout') AS is_ow,
+                coalesce(w.oneway, '') = '-1' AS rev
+              FROM ok JOIN ways w USING (way_id)),
+        e2 AS (SELECT *, dist_m / (speed_kmh * 1000.0 / 60.0) AS weight_min FROM e),
+        directed AS (
+          SELECT CASE WHEN rev THEN last_node ELSE first_node END AS tail,
+                 CASE WHEN rev THEN first_node ELSE last_node END AS head,
+                 dist_m, weight_min FROM e2
+          UNION ALL
+          SELECT last_node, first_node, dist_m, weight_min FROM e2 WHERE NOT is_ow),
+        dedup AS (SELECT tail, head, round(min(weight_min), 6) AS weight_min,
+                    round(min(dist_m), 4) AS dist_m
+                  FROM directed GROUP BY tail, head),
+        iso AS (SELECT DISTINCT node_id FROM ex
+                WHERE node_id NOT IN (SELECT tail FROM dedup))
+        SELECT tail, head, weight_min, dist_m FROM dedup
+        UNION ALL
+        SELECT node_id, node_id, 0.0, 0.0 FROM iso
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -703,5 +859,14 @@ def oracle_sql() -> dict[str, str]:
                    sum(round(value * 100, 0)::BIGINT)::BIGINT AS sum_value_cents
             FROM events GROUP BY 1, 2
         """,
+        "way_filter": f"""
+            WITH {_way_cte()}
+            SELECT way_id, highway, len(nodes)::BIGINT AS n_nodes FROM aw
+        """,
+        "way_segments": f"""
+            WITH {_way_cte()}
+            SELECT way_id, seg, pos, node_id FROM segs
+        """,
+        "way_edges": _way_edges_sql(),
     }
     return {k: v.strip() for k, v in o.items()}

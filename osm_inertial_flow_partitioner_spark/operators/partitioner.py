@@ -64,8 +64,10 @@ DIR_OUT_SCHEMA = (
 )
 
 #: active cells smaller than this finish their whole recursion in one
-#: kernel call (a few MB of int64/float64 arrays per cell)
-DEFAULT_LOCAL_RECURSION_THRESHOLD = 1 << 15
+#: kernel call (a few MB of int64/float64 arrays per cell). 8k keeps
+#: individual finish-tasks to seconds (straggler control) while still
+#: collapsing the deep tail of the bisection tree into one pass.
+DEFAULT_LOCAL_RECURSION_THRESHOLD = 1 << 13
 
 
 def _sorted_cell_arrays(vdf: pd.DataFrame, edf: pd.DataFrame):

@@ -1,0 +1,82 @@
+"""Deterministic way/node fixture — the single source of truth for both
+the Spark DataFrames and the DuckDB oracle's VALUES clauses (so the two
+can never drift). Covers: accepted/rejected highways, junction tag,
+shared junction nodes, one-way (yes/-1), roundabout, maxspeed units
+(plain/mph/knots/invalid), barriers, isolated vertices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# (way_id, highway, junction, oneway, maxspeed, nodes)
+WAYS = [
+    (1, "primary", None, None, "50", [1, 2, 3, 4]),
+    (2, "residential", None, "yes", "30 mph", [3, 5, 6]),
+    (3, "footway", None, None, None, [6, 7]),          # rejected highway
+    (4, "service", "roundabout", None, None, [8, 9, 10, 8]),  # loop + roundabout
+    (5, "secondary", None, "-1", "10 knots", [4, 11, 12]),
+    (6, "tertiary", None, None, "not_a_number", [2, 13]),
+    (7, "unclassified", None, None, None, [12]),        # too few nodes
+    (8, "trunk", None, None, None, [14, 3, 15]),        # makes node 3 a junction
+]
+
+# (node_id, lat, lon, barrier, access, signal)
+NODES = [
+    (1, 0.0, 0.0, None, None, False),
+    (2, 0.0, 0.01, None, None, False),
+    (3, 0.0, 0.02, None, None, True),
+    (4, 0.0, 0.03, None, None, False),
+    (5, 0.01, 0.02, "gate", "no", False),
+    (6, 0.02, 0.02, None, None, False),
+    (7, 0.03, 0.02, None, None, False),
+    (8, 0.05, 0.05, None, None, False),
+    (9, 0.05, 0.06, None, None, False),
+    (10, 0.06, 0.06, None, None, False),
+    (11, 0.0, 0.04, None, None, False),
+    (12, 0.0, 0.05, None, None, False),
+    (13, -0.01, 0.01, "bollard", "yes", False),  # barrier but access != no
+    (14, 0.01, 0.015, None, None, False),
+    (15, -0.01, 0.025, None, None, False),
+]
+
+WAYS_SCHEMA = (
+    "way_id long, highway string, junction string, oneway string, "
+    "maxspeed string, nodes array<long>"
+)
+NODES_SCHEMA = (
+    "node_id long, lat double, lon double, barrier string, access string, "
+    "signal boolean"
+)
+
+
+def ways_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(WAYS, WAYS_SCHEMA)
+
+
+def nodes_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(NODES, NODES_SCHEMA)
+
+
+def _sql_lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, list):
+        return "[" + ", ".join(str(x) for x in v) + "]"
+    return str(v)
+
+
+def ways_values_sql() -> str:
+    rows = ", ".join("(" + ", ".join(_sql_lit(v) for v in w) + ")" for w in WAYS)
+    return (
+        f"(VALUES {rows}) AS ways(way_id, highway, junction, oneway, maxspeed, nodes)"
+    )
+
+
+def nodes_values_sql() -> str:
+    rows = ", ".join("(" + ", ".join(_sql_lit(v) for v in n) + ")" for n in NODES)
+    return f"(VALUES {rows}) AS nodes(node_id, lat, lon, barrier, access, signal)"
