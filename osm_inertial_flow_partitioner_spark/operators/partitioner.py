@@ -216,37 +216,41 @@ def _run_level(
     local_threshold: int,
     level: int,
     metrics_rows: list,
+    init_sizes: dict[tuple[int, int], int],
     checkpoint=None,
 ) -> tuple[DataFrame, dict[int, int]]:
     """Bisection rounds for one level. Round 0 bisects every cell
     (Partition() runs per parent unconditionally,
     multilevel_partitioner.go:59-68); later rounds only cells with
-    count >= max_cell_size."""
+    count >= max_cell_size.
+
+    ``init_sizes`` seeds a driver-side size map (cell -> vertex count);
+    each round's kernel metrics update it, so no per-round counting job
+    is needed — the only Spark jobs per round are the kernel pass and
+    the snapshot materialization."""
     spark = assign.sparkSession
     parallelism = spark.sparkContext.defaultParallelism
     empties: dict[int, int] = {}
+    sizes: dict[tuple[int, int], int] = dict(init_sizes)
     rnd = 0
     while True:
-        counts = assign.groupBy("root", "path").count()
-        active_rows = (
-            counts if rnd == 0 else counts.filter(F.col("count") >= max_cell_size)
-        ).collect()
-        if not active_rows:
+        if rnd == 0:
+            active = list(sizes.items())  # every parent cell, any size
+        else:
+            active = [(k, s) for k, s in sizes.items() if s >= max_cell_size]
+        if not active:
             break
-        small_keys = [
-            (r["root"], r["path"]) for r in active_rows if r["count"] < local_threshold
-        ]
-        big_keys = [
-            (r["root"], r["path"]) for r in active_rows if r["count"] >= local_threshold
-        ]
+        small_keys = [k for k, s in active if s < local_threshold]
+        big_keys = [k for k, s in active if s >= local_threshold]
         all_keys = small_keys + big_keys
+        sizes = {k: s for k, s in sizes.items() if k not in set(all_keys)}
 
         ak = F.broadcast(spark.createDataFrame(all_keys, "root long, path long"))
         inactive = assign.join(ak, ["root", "path"], "left_anti")
         frames = [inactive.select("root", "path", "vertex_id", "lat", "lon")]
         to_unpersist = []
 
-        def run_cell_mode(keys, kernel):
+        def run_cell_mode(keys, kernel, is_bisect):
             kdf = F.broadcast(spark.createDataFrame(keys, "root long, path long"))
             act = assign.join(kdf, ["root", "path"], "inner")
             e_act = _label_edges(edges, act)
@@ -254,7 +258,9 @@ def _run_level(
                 act.groupBy("root", "path")
                 .cogroup(e_act.groupBy("root", "path"))
                 .applyInPandas(kernel, schema=KERNEL_OUT_SCHEMA)
+                .persist()
             )
+            to_unpersist.append(out)
             frames.append(out.select("root", "path", "vertex_id", "lat", "lon"))
             m = (
                 out.groupBy("root", "parent_path")
@@ -284,9 +290,18 @@ def _run_level(
                 )
                 if r["n_empty"]:
                     empties[r["root"]] = empties.get(r["root"], 0) + int(r["n_empty"])
+                if is_bisect:
+                    # children sizes known from the cut metrics — feeds the
+                    # next round's active set without a counting job
+                    p = int(r["parent_path"])
+                    one = int(r["n"]) - int(r["part_two"])
+                    if one > 0:
+                        sizes[(int(r["root"]), p * 2)] = one
+                    if int(r["part_two"]) > 0:
+                        sizes[(int(r["root"]), p * 2 + 1)] = int(r["part_two"])
 
         if small_keys:
-            run_cell_mode(small_keys, _make_finish_kernel(max_cell_size, rate))
+            run_cell_mode(small_keys, _make_finish_kernel(max_cell_size, rate), False)
 
         if big_keys:
             if len(big_keys) < parallelism:
@@ -361,8 +376,13 @@ def _run_level(
                     )
                     if r["part_two"] == r["n"]:
                         empties[root] = empties.get(root, 0) + 1
+                    one = int(r["n"]) - int(r["part_two"])
+                    if one > 0:
+                        sizes[(root, path * 2)] = one
+                    if int(r["part_two"]) > 0:
+                        sizes[(root, path * 2 + 1)] = int(r["part_two"])
             else:
-                run_cell_mode(big_keys, _make_bisect_kernel(rate))
+                run_cell_mode(big_keys, _make_bisect_kernel(rate), True)
 
         new_assign = frames[0]
         for fr in frames[1:]:
@@ -382,22 +402,26 @@ def _relabel_level(
     empties: dict[int, int],
     empty_roots: list[int],
     n_roots: int,
-) -> tuple[DataFrame, int, list[int]]:
+) -> tuple[DataFrame, int, list[int], dict[int, int]]:
     """Frozen numbering: per parent root (in root-id order): non-empty
     cells by min original vertex id, then that root's empty cells; empty
-    roots contribute 2 empty child cells in place."""
+    roots contribute 2 empty child cells in place.
+
+    Also returns the per-final-cell sizes (seeds the next level's
+    driver-side size map)."""
     meta = (
         assign.groupBy("root", "path")
-        .agg(F.min("vertex_id").alias("min_vid"))
+        .agg(F.min("vertex_id").alias("min_vid"), F.count("*").alias("n"))
         .collect()
     )
     by_root: dict[int, list] = {}
     for r in meta:
         by_root.setdefault(int(r["root"]), []).append(
-            (int(r["min_vid"]), int(r["path"]))
+            (int(r["min_vid"]), int(r["path"]), int(r["n"]))
         )
     mapping: list[tuple[int, int, int]] = []
     empty_ids: list[int] = []
+    cell_sizes_out: dict[int, int] = {}
     empty_root_set = set(empty_roots)
     cid = 0
     for root in range(n_roots):
@@ -405,8 +429,9 @@ def _relabel_level(
             empty_ids.extend([cid, cid + 1])  # Partition(empty) -> 2 empty cells
             cid += 2
             continue
-        for _mv, path in sorted(by_root.get(root, [])):
+        for _mv, path, sz in sorted(by_root.get(root, [])):
             mapping.append((root, path, cid))
+            cell_sizes_out[cid] = sz
             cid += 1
         for _ in range(empties.get(root, 0)):
             empty_ids.append(cid)
@@ -418,7 +443,7 @@ def _relabel_level(
     out = assign.join(map_df, ["root", "path"], "inner").select(
         "vertex_id", "lat", "lon", "cell_id"
     )
-    return out, cid, empty_ids
+    return out, cid, empty_ids, cell_sizes_out
 
 
 def multilevel_partition(
@@ -463,14 +488,14 @@ def multilevel_partition(
     if n > top_u:
         a, empties = _run_level(
             assign, edges, top_u, rate, local_recursion_threshold, L - 1,
-            metrics_rows, checkpoint,
+            metrics_rows, {(0, 1): n}, checkpoint,
         )
-        labeled, c, empty_ids = _relabel_level(a, empties, [], 1)
+        labeled, c, empty_ids, level_sizes = _relabel_level(a, empties, [], 1)
     else:
         labeled = assign.select(
             "vertex_id", "lat", "lon", F.lit(0).cast("long").alias("cell_id")
         )
-        c, empty_ids = 1, []
+        c, empty_ids, level_sizes = 1, [], {0: n}
     num_cells[L - 1] = c
     empty_roots = empty_ids
     level_frames.append(
@@ -487,11 +512,12 @@ def multilevel_partition(
             F.col("cell_id").alias("root"),
             F.lit(1).cast("long").alias("path"),
         )
+        init_sizes = {(cell, 1): sz for cell, sz in level_sizes.items()}
         a, empties = _run_level(
             a0, edges, u, rate, local_recursion_threshold, level,
-            metrics_rows, checkpoint,
+            metrics_rows, init_sizes, checkpoint,
         )
-        labeled, c, empty_ids = _relabel_level(
+        labeled, c, empty_ids, level_sizes = _relabel_level(
             a, empties, empty_roots, num_cells[level + 1]
         )
         num_cells[level] = c

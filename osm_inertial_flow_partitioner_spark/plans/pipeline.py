@@ -46,6 +46,7 @@ def run_pipeline(
     config: PartitionConfig | None = None,
     res: int = 6,
     k: int = 4,
+    adjacency_res: int | None = None,
     checkpoint=None,
     output_dir: str | None = None,
     verify_text_invariant: bool = True,
@@ -53,11 +54,12 @@ def run_pipeline(
     config = config or PartitionConfig()
     n_docs = pages.count()
 
-    # stage A: extract
+    # stage A: extract (res = query-cell resolution; the kNN adjacency
+    # auto-picks its own density-matched bucket resolution)
     entities = extract_entities(pages, res=res)
     entities.persist()
     n_entities = entities.count()
-    edges = knn_adjacency(entities, k=k, res=res)
+    edges = knn_adjacency(entities, k=k, res=adjacency_res)
     edges.persist()
 
     if verify_text_invariant:

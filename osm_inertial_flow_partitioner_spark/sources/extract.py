@@ -71,19 +71,39 @@ def extract_entities(pages: DataFrame, res: int = 6) -> DataFrame:
     return ent
 
 
+def auto_adjacency_res(n_points: int) -> int:
+    """Adjacency-bucket resolution targeting O(sqrt n)-ish cell occupancy
+    so the per-cell self-join stays subquadratic even inside hot
+    clusters: res ~ log2(sqrt(n)) + 3, clamped to [4, 14]."""
+    import math
+
+    if n_points <= 1:
+        return 4
+    return max(4, min(14, int(round(math.log2(math.sqrt(n_points)))) + 3))
+
+
 def knn_adjacency(
-    entities: DataFrame, k: int = 4, res: int = 6, ring: int = 1
+    entities: DataFrame, k: int = 4, res: int | None = None, ring: int = 1
 ) -> DataFrame:
     """Cell-bucketed kNN graph over entities -> undirected edge list
     (edge_id, tail, head), one row per undirected edge, deterministic
     edge ids by (tail, head) rank.
 
     Pattern (J6): explode the grid disk of each point -> equi-join on
-    cell (never a cross join) -> haversine rank -> top-k window. Hot
-    cells are handled by AQE skew-join splitting plus the salt in
-    ``salted_repartition`` (operators/spatial.py) when materializing.
+    cell (never a cross join) -> haversine rank -> top-k window.
+
+    ``res`` here is the ADJACENCY bucket resolution, independent of the
+    query-cell resolution: hot clusters make coarse cells quadratic in
+    the self-join, so by default it is auto-picked from the point count
+    (the explicit skew handling the north_rule asks for); AQE skew-join
+    splitting covers the residual imbalance.
     """
-    pts = entities.select("entity_id", "lat", "lon", "cell")
+    if res is None:
+        res = auto_adjacency_res(entities.count())
+    pts = entities.select(
+        "entity_id", "lat", "lon",
+        grid_cell(F.col("lat"), F.col("lon"), res).alias("cell"),
+    )
     probes = pts.select(
         F.col("entity_id").alias("qid"),
         F.col("lat").alias("qlat"),
