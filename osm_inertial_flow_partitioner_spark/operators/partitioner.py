@@ -234,12 +234,21 @@ def _run_level(
     sizes: dict[tuple[int, int], int] = dict(init_sizes)
     rnd = 0
     while True:
+        if checkpoint is not None and checkpoint.has_round(level, rnd):
+            # resume: replay this round from its durable snapshot
+            assign, state = checkpoint.load_round(level, rnd)
+            sizes = {(int(r), int(p)): int(s) for r, p, s in state["sizes"]}
+            empties = {int(k): int(v) for k, v in state["empties"].items()}
+            metrics_rows.extend(state["metrics_rows"])
+            rnd += 1
+            continue
         if rnd == 0:
             active = list(sizes.items())  # every parent cell, any size
         else:
             active = [(k, s) for k, s in sizes.items() if s >= max_cell_size]
         if not active:
             break
+        n_metrics_before = len(metrics_rows)
         small_keys = [k for k, s in active if s < local_threshold]
         big_keys = [k for k, s in active if s >= local_threshold]
         all_keys = small_keys + big_keys
@@ -388,7 +397,12 @@ def _run_level(
         for fr in frames[1:]:
             new_assign = new_assign.unionByName(fr)
         if checkpoint is not None:
-            assign = checkpoint.snapshot_round(new_assign, level, rnd)
+            state = {
+                "sizes": [[r, p, s] for (r, p), s in sizes.items()],
+                "empties": empties,
+                "metrics_rows": metrics_rows[n_metrics_before:],
+            }
+            assign = checkpoint.snapshot_round(new_assign, level, rnd, state)
         else:
             assign = new_assign.localCheckpoint(eager=True)
         for df in to_unpersist:

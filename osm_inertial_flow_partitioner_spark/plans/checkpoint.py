@@ -3,16 +3,20 @@
 The reference is a single batch process with no resume; the graft spec
 (north_rule) requires resumable rounds. Design: every bisection round
 snapshots the assignment table to a parquet snapshot directory plus a
-manifest recording (level, round, row count) — the durable boundary
-between rounds. On an Iceberg-enabled cluster the same calls map to
-``writeTo(...).createOrReplace()`` snapshots; parquet + manifest keeps
-the sandbox dependency-free while exercising identical resume logic
-(write-then-reload also truncates the Spark lineage each round, which
+manifest recording (level, round, row count, and the driver state
+needed to continue: the cell-size map, empty-cell counts, and the
+round's lineage metrics). On an Iceberg-enabled cluster the same calls
+map to ``writeTo(...).createOrReplace()`` snapshots; parquet + manifest
+keeps the sandbox dependency-free while exercising identical resume
+logic (write-then-reload also truncates Spark lineage each round, which
 the driver loop needs anyway).
 
-Resume: ``latest()`` finds the newest complete snapshot; the partitioner
-can restart from (level, round) and must produce a byte-identical final
-assignment (tested in tests/test_checkpoint_resume.py).
+Resume: re-invoke the partitioner with the same checkpoint — each
+(level, round) that already has a complete snapshot is REPLAYED from
+disk (assignment reloaded, driver state restored) instead of recomputed,
+then execution continues live from the first missing round. A config
+token guards against resuming across changed configurations. The final
+assignment is byte-identical (tested in tests/test_pipeline_streaming.py).
 """
 
 from __future__ import annotations
@@ -25,17 +29,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class RoundCheckpoint:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, config_token: str = ""):
         self.spark = spark
         self.root = root
+        self.config_token = config_token
         os.makedirs(root, exist_ok=True)
 
     def _dir(self, level: int, rnd: int) -> str:
         return os.path.join(self.root, f"level={level}", f"round={rnd}")
 
-    def snapshot_round(self, assign: DataFrame, level: int, rnd: int) -> DataFrame:
-        """Write the post-round assignment; return the reloaded frame
-        (lineage truncated at the durable snapshot)."""
+    def snapshot_round(
+        self, assign: DataFrame, level: int, rnd: int, state: dict | None = None
+    ) -> DataFrame:
+        """Write the post-round assignment + driver state; return the
+        reloaded frame (lineage truncated at the durable snapshot)."""
         d = self._dir(level, rnd)
         assign.write.mode("overwrite").parquet(os.path.join(d, "assign"))
         rows = self.spark.read.parquet(os.path.join(d, "assign"))
@@ -43,18 +50,36 @@ class RoundCheckpoint:
             "level": level,
             "round": rnd,
             "rows": rows.count(),
-            "partitions": rows.rdd.getNumPartitions(),
+            "config_token": self.config_token,
+            "state": state or {},
             "completed_at": time.time(),
         }
         with open(os.path.join(d, "manifest.json"), "w") as f:
             json.dump(manifest, f)
         return rows
 
+    def has_round(self, level: int, rnd: int) -> bool:
+        p = os.path.join(self._dir(level, rnd), "manifest.json")
+        if not os.path.exists(p):
+            return False
+        with open(p) as f:
+            return json.load(f).get("config_token") == self.config_token
+
+    def load_round(self, level: int, rnd: int) -> tuple[DataFrame, dict]:
+        d = self._dir(level, rnd)
+        with open(os.path.join(d, "manifest.json")) as f:
+            manifest = json.load(f)
+        return (
+            self.spark.read.parquet(os.path.join(d, "assign")),
+            manifest.get("state", {}),
+        )
+
+    # kept for inspection/back-compat
     def latest(self) -> tuple[int, int] | None:
-        """Newest complete (level, round), preferring lower level (levels
-        run top-down: L-1 first), then higher round."""
         best = None
-        for lvl_dir in os.listdir(self.root) if os.path.isdir(self.root) else []:
+        if not os.path.isdir(self.root):
+            return None
+        for lvl_dir in os.listdir(self.root):
             if not lvl_dir.startswith("level="):
                 continue
             level = int(lvl_dir.split("=")[1])
@@ -71,7 +96,7 @@ class RoundCheckpoint:
         return best[1] if best else None
 
     def load(self, level: int, rnd: int) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self._dir(level, rnd), "assign"))
+        return self.load_round(level, rnd)[0]
 
     def finalize(self, result: DataFrame, num_cells: list[int], metrics: DataFrame):
         """Durable final assignment + per-bisection lineage/metrics."""

@@ -74,7 +74,7 @@ def test_pipeline_properties(spark, pages):
 def test_checkpoint_resume_byte_identical(spark, pages, tmp_path):
     cfg = PartitionConfig(cell_sizes=[16, 64])
     r1 = run_pipeline(spark, pages, cfg, res=5, k=3)
-    ck = RoundCheckpoint(spark, str(tmp_path / "ck"))
+    ck = RoundCheckpoint(spark, str(tmp_path / "ck"), config_token="t1")
     r2 = run_pipeline(spark, pages, cfg, res=5, k=3, checkpoint=ck)
     a = sorted(map(tuple, r1.assignment.collect()))
     b = sorted(map(tuple, r2.assignment.collect()))
@@ -90,6 +90,19 @@ def test_checkpoint_resume_byte_identical(spark, pages, tmp_path):
         map(tuple, spark.read.parquet(str(tmp_path / "ck" / "assignment")).collect())
     )
     assert persisted == b
+
+    # kill/restart simulation: drop the LAST completed round's manifest,
+    # resume with the same checkpoint -> earlier rounds replay from disk,
+    # the dropped round recomputes live; final assignment byte-identical
+    lvl, rnd = ck.latest()
+    os.remove(str(tmp_path / "ck" / f"level={lvl}" / f"round={rnd}" / "manifest.json"))
+    ck2 = RoundCheckpoint(spark, str(tmp_path / "ck"), config_token="t1")
+    r3 = run_pipeline(spark, pages, cfg, res=5, k=3, checkpoint=ck2)
+    c = sorted(map(tuple, r3.assignment.collect()))
+    assert c == b
+    # a stale config token must NOT resume from foreign snapshots
+    ck3 = RoundCheckpoint(spark, str(tmp_path / "ck"), config_token="OTHER")
+    assert not ck3.has_round(lvl, 0) or lvl != ck.latest()[0]
 
 
 def test_streaming_entities_match_batch(spark, pages, tmp_path):
