@@ -61,9 +61,14 @@ from .operators.waygraph import (
     way_segments,
 )
 from .sources.extract import knn_adjacency
+from .operators.turns import turn_table
 from .sources.way_fixtures import (
     nodes_df,
     nodes_values_sql,
+    restrictions_df,
+    restrictions_values_sql,
+    turn_edges_df,
+    turn_edges_values_sql,
     ways_df,
     ways_values_sql,
 )
@@ -434,6 +439,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return add_dummy_self_edges(segment_edges(w, n), referenced_nodes(w, n))
 
     q["way_edges"] = way_edges
+
+    def turn_table_q(spark, sf):
+        return turn_table(turn_edges_df(spark), restrictions_df(spark))
+
+    q["turn_table"] = turn_table_q
 
     # ---- geometry kernels (rows-only: pandas UDFs, no SQL twin) ----
     def rdp_polyline(spark, sf):
@@ -868,5 +878,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT way_id, seg, pos, node_id FROM segs
         """,
         "way_edges": _way_edges_sql(),
+        "turn_table": f"""
+            WITH e AS (SELECT * FROM {turn_edges_values_sql()}),
+            r AS (SELECT * FROM {restrictions_values_sql()}),
+            entries AS (SELECT DISTINCT head AS via, tail AS from_node FROM e),
+            exits AS (SELECT DISTINCT tail AS via, head AS to_node FROM e),
+            pairs AS (SELECT * FROM entries JOIN exits USING (via)),
+            no_r AS (SELECT via, from_node, to_node, TRUE AS is_no FROM r WHERE kind = 'no'),
+            only_r AS (SELECT via, from_node, to_node AS only_to, TRUE AS has_only
+                       FROM r WHERE kind = 'only')
+            SELECT p.via::BIGINT AS via, p.from_node::BIGINT AS from_node,
+                   p.to_node::BIGINT AS to_node,
+                   (CASE WHEN n.is_no THEN 4
+                         WHEN o.has_only AND p.to_node <> o.only_to THEN 4
+                         ELSE 5 END)::INT AS turn_type
+            FROM pairs p
+            LEFT JOIN no_r n USING (via, from_node, to_node)
+            LEFT JOIN only_r o USING (via, from_node)
+        """,
     }
     return {k: v.strip() for k, v in o.items()}

@@ -1,0 +1,61 @@
+"""Turn tables + turn-restriction application (E7/J2).
+
+The reference flattens per-vertex in-degree x out-degree turn matrices
+initialized to NONE and applies restrictions resolved through
+from-way -> via-node -> to-way joins
+(`/root/reference/pkg/osmparser/osm_parser2.go:435-641`; enum
+`pkg/constant.go:4-13`): ``no_*`` restrictions mark the (entry, exit)
+pair NO_ENTRY; ``only_*`` restrictions mark every OTHER exit from that
+entry NO_ENTRY (:506-625). (The reference's U-turn block :447-504 is
+dead code and intentionally not reproduced.)
+
+Here the turn table is long-form relational — (via, from_node, to_node,
+turn_type) — built from two equi-joins of the directed edge list with
+itself, and restrictions are applied with left joins; the matrix layout
+is an executor-local physical detail the relational form replaces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# pkg/constant.go:4-13
+LEFT_TURN, RIGHT_TURN, STRAIGHT_ON, U_TURN, NO_ENTRY, NONE = range(6)
+
+
+def turn_table(edges: DataFrame, restrictions: DataFrame) -> DataFrame:
+    """edges: directed (tail, head); restrictions: (via, from_node,
+    to_node, kind) with kind in ('no', 'only').
+
+    Returns (via, from_node, to_node, turn_type) for every entry x exit
+    pair of every via vertex."""
+    entries = edges.select(
+        F.col("head").alias("via"), F.col("tail").alias("from_node")
+    ).distinct()
+    exits = edges.select(
+        F.col("tail").alias("via"), F.col("head").alias("to_node")
+    ).distinct()
+    pairs = entries.join(exits, "via")
+
+    no = restrictions.filter(F.col("kind") == "no").select(
+        "via", "from_node", "to_node", F.lit(True).alias("is_no")
+    )
+    only = restrictions.filter(F.col("kind") == "only").select(
+        "via", "from_node", F.col("to_node").alias("only_to"), F.lit(True).alias("has_only")
+    )
+    out = (
+        pairs.join(F.broadcast(no), ["via", "from_node", "to_node"], "left")
+        .join(F.broadcast(only), ["via", "from_node"], "left")
+        .withColumn(
+            "turn_type",
+            F.when(F.col("is_no"), F.lit(NO_ENTRY))
+            .when(
+                F.col("has_only") & (F.col("to_node") != F.col("only_to")),
+                F.lit(NO_ENTRY),
+            )
+            .otherwise(F.lit(NONE)),
+        )
+        .select("via", "from_node", "to_node", "turn_type")
+    )
+    return out

@@ -80,3 +80,40 @@ def ways_values_sql() -> str:
 def nodes_values_sql() -> str:
     rows = ", ".join("(" + ", ".join(_sql_lit(v) for v in n) + ")" for n in NODES)
     return f"(VALUES {rows}) AS nodes(node_id, lat, lon, barrier, access, signal)"
+
+
+# directed edges around two intersections for the turn-table fixture
+TURN_EDGES = [
+    (1, 100), (100, 1), (2, 100), (100, 2), (100, 3), (3, 100),
+    (100, 4), (4, 100), (4, 200), (200, 4), (200, 5), (5, 200),
+]
+
+# (via, from_node, to_node, kind)
+RESTRICTIONS = [
+    (100, 1, 3, "no"),       # no_left_turn 1 -> 100 -> 3
+    (100, 2, 4, "only"),     # only_straight 2 -> 100 -> 4
+    (200, 4, 5, "no"),
+]
+
+TURN_EDGES_SCHEMA = "tail long, head long"
+RESTRICTIONS_SCHEMA = "via long, from_node long, to_node long, kind string"
+
+
+def turn_edges_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(TURN_EDGES, TURN_EDGES_SCHEMA)
+
+
+def restrictions_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(RESTRICTIONS, RESTRICTIONS_SCHEMA)
+
+
+def turn_edges_values_sql() -> str:
+    rows = ", ".join(f"({t}, {h})" for t, h in TURN_EDGES)
+    return f"(VALUES {rows}) AS e(tail, head)"
+
+
+def restrictions_values_sql() -> str:
+    rows = ", ".join(
+        f"({v}, {f}, {t}, '{k}')" for v, f, t, k in RESTRICTIONS
+    )
+    return f"(VALUES {rows}) AS r(via, from_node, to_node, kind)"
