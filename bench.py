@@ -38,7 +38,9 @@ def main() -> None:
     extras: dict[str, float] = {}
 
     # ---- flagship: end-to-end tile pipeline over synthetic CC pages ----
-    n_docs = max(int(200_000 * sf), 2_000) if sf else 5_000
+    # big enough that the parallel tail (per-cell kernels) dominates the
+    # O(log) serial bisection prefix — the regime the engine targets
+    n_docs = max(int(1_000_000 * sf), 2_000) if sf else 5_000
     t0 = time.time()
     pages = generate_pages(spark, n_docs, num_partitions=int(cpus) * 2)
     pages = pages.persist()

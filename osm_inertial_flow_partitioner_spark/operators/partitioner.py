@@ -42,6 +42,9 @@ are O(#cells) metadata, never vertices.
 
 from __future__ import annotations
 
+import os
+import time
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -249,6 +252,7 @@ def _run_level(
         if not active:
             break
         n_metrics_before = len(metrics_rows)
+        _t_round = time.time()
         small_keys = [k for k, s in active if s < local_threshold]
         big_keys = [k for k, s in active if s >= local_threshold]
         all_keys = small_keys + big_keys
@@ -405,6 +409,12 @@ def _run_level(
             assign = checkpoint.snapshot_round(new_assign, level, rnd, state)
         else:
             assign = new_assign.localCheckpoint(eager=True)
+        if os.environ.get("TILER_DEBUG"):
+            print(
+                f"[tiler] level={level} round={rnd} small={len(small_keys)} "
+                f"big={len(big_keys)} took={time.time() - _t_round:.1f}s",
+                flush=True,
+            )
         for df in to_unpersist:
             df.unpersist()
         rnd += 1
