@@ -47,12 +47,12 @@ import time
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import PartitionConfig
 from ..kernel.bisection import bisect_once, recursive_bisection
-from ..kernel.inertial import direction_jobs, pick_sources_sinks
+from ..kernel.inertial import direction_jobs
 from ..kernel.maxflow import FlowGraph, dinic_min_cut
 
 KERNEL_OUT_SCHEMA = (
@@ -62,9 +62,11 @@ KERNEL_OUT_SCHEMA = (
 )
 
 DIR_OUT_SCHEMA = (
-    "root long, path long, job int, vertex_id long, lat double, lon double, "
-    "side byte, n int, cut_edges int, part_two int"
+    "root long, path long, comp long, job int, vertex_id long, "
+    "lat double, lon double, side byte, cut_edges int, part_two int"
 )
+
+CC_OUT_SCHEMA = "root long, path long, vertex_id long, comp long"
 
 #: active cells smaller than this finish their whole recursion in one
 #: kernel call (a few MB of int64/float64 arrays per cell). 8k keeps
@@ -150,22 +152,78 @@ def _make_bisect_kernel(rate: float):
     return kernel
 
 
-def _make_direction_kernel(rate: float):
-    """Mode 1: one (cell, direction) pair per group — a single Dinic run.
+def _cc_kernel(key, vdf: pd.DataFrame, edf: pd.DataFrame) -> pd.DataFrame:
+    """Connected components of one cell (union-find, executor-local);
+    component id = min original vertex id in the component
+    (deterministic). Enables the exact (cell x direction x component)
+    decomposition: max-flow value and residual reachability decompose by
+    component because no augmenting path crosses components."""
+    root, path = int(key[0]), int(key[1])
+    ids = np.sort(vdf["vertex_id"].to_numpy(np.int64))
+    pos = {int(v): i for i, v in enumerate(ids)}
+    parent = list(range(len(ids)))
 
-    Mirrors one minCutJob of computeInertialFlowDinic
-    (inertial_flow.go:134-149); the driver performs the frozen
-    (cut_edges, balance, job) argmin across the 10 groups of a cell."""
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    if len(edf):
+        for t, h in zip(edf["tail"].to_numpy(np.int64), edf["head"].to_numpy(np.int64)):
+            a, b = find(pos[int(t)]), find(pos[int(h)])
+            if a != b:
+                parent[b] = a
+    roots = np.array([find(i) for i in range(len(ids))])
+    # comp label = min vertex id in component == ids[min index in comp]
+    comp_min = {}
+    for i, r in enumerate(roots):
+        if r not in comp_min:
+            comp_min[r] = ids[i]  # ids ascending -> first hit is the min
+    comp = np.array([comp_min[r] for r in roots], dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "root": np.int64(root),
+            "path": np.int64(path),
+            "vertex_id": ids,
+            "comp": comp,
+        }
+    )
+
+
+def _make_direction_kernel():
+    """Mode 1: one (cell, direction, component) triple per group — a
+    single Dinic run on one component with the GLOBAL per-cell 25%
+    source/sink selection restricted to the component (roles and the
+    frozen projection rank are precomputed Spark-side).
+
+    Exactness: augmenting paths never cross components, so the whole
+    cell's max-flow value is the sum of per-component values, and the
+    residual-reachable set (the cut flags) is the union — and the flags
+    are independent of WHICH max flow is found (the source-side reachable
+    set of any max flow is the unique minimal min cut, Picard-Queyranne),
+    so per-component arc ordering cannot change the result vs the
+    reference's whole-cell run (inertial_flow.go:134-149)."""
 
     def kernel(key, vdf: pd.DataFrame, edf: pd.DataFrame) -> pd.DataFrame:
-        root, path, job = int(key[0]), int(key[1]), int(key[2])
-        ids, lat, lon, tails, heads = _sorted_cell_arrays(vdf, edf)
+        root, path, comp, job = int(key[0]), int(key[1]), int(key[2]), int(key[3])
+        vdf = vdf.sort_values("vertex_id")
+        ids = vdf["vertex_id"].to_numpy(np.int64)
+        lat = vdf["lat"].to_numpy(np.float64)
+        lon = vdf["lon"].to_numpy(np.float64)
+        rn = vdf["rn"].to_numpy(np.int64)
+        role = vdf["role"].to_numpy()
         n = len(ids)
-        lt = np.searchsorted(ids, tails)
-        lh = np.searchsorted(ids, heads)
-        a, b = direction_jobs()[job]
-        proj = a * lon + b * lat
-        sources, sinks = pick_sources_sinks(proj, rate)
+        if len(edf):
+            edf = edf.sort_values(["tail", "edge_id"])
+            lt = np.searchsorted(ids, edf["tail"].to_numpy(np.int64))
+            lh = np.searchsorted(ids, edf["head"].to_numpy(np.int64))
+        else:
+            lt = lh = np.empty(0, dtype=np.int64)
+        src_mask = role == "src"
+        snk_mask = role == "snk"
+        sources = np.flatnonzero(src_mask)[np.argsort(rn[src_mask], kind="stable")]
+        sinks = np.flatnonzero(snk_mask)[np.argsort(-rn[snk_mask], kind="stable")]
         if len(sources) == 0:
             flags = np.zeros(n, dtype=bool)
             part_two, cut = n, 0
@@ -176,12 +234,12 @@ def _make_direction_kernel(rate: float):
             {
                 "root": np.int64(root),
                 "path": np.int64(path),
+                "comp": np.int64(comp),
                 "job": np.int32(job),
                 "vertex_id": ids,
                 "lat": lat,
                 "lon": lon,
                 "side": (~flags).astype(np.int8),
-                "n": np.int32(n),
                 "cut_edges": np.int32(cut),
                 "part_two": np.int32(part_two),
             }
@@ -318,47 +376,112 @@ def _run_level(
 
         if big_keys:
             if len(big_keys) < parallelism:
-                # mode 1: explode each big cell into 10 direction groups
+                # mode 1: (cell x direction x component) groups — the 10
+                # inertial jobs fan out as tasks AND each job decomposes
+                # exactly by connected component (see _make_direction_kernel)
+                big_sizes = {k: s for k, s in active if k in set(big_keys)}
                 kdf = F.broadcast(
                     spark.createDataFrame(big_keys, "root long, path long")
                 )
                 act = assign.join(kdf, ["root", "path"], "inner")
+                e_act = _label_edges(edges, act)
+                cc = (
+                    act.groupBy("root", "path")
+                    .cogroup(e_act.groupBy("root", "path"))
+                    .applyInPandas(_cc_kernel, schema=CC_OUT_SCHEMA)
+                    .persist()
+                )
+                to_unpersist.append(cc)
 
-                def _jobs():  # fresh frame each side (self-join ambiguity)
+                def _jobs():  # fresh frame each use (self-join ambiguity)
                     return spark.createDataFrame(
                         [(j,) for j in range(10)], "job int"
                     )
 
-                act10 = act.crossJoin(F.broadcast(_jobs()))
-                e_act = _label_edges(edges, act)
-                e10 = e_act.crossJoin(F.broadcast(_jobs()))
+                # global per-cell source/sink roles at the frozen order
+                # (proj asc, vertex_id asc); k = int(n * rate) truncation
+                # (helper.go:132)
+                ksrc = F.broadcast(
+                    spark.createDataFrame(
+                        [
+                            (r, p, s, int(s * rate))
+                            for (r, p), s in big_sizes.items()
+                        ],
+                        "root long, path long, n long, k long",
+                    )
+                )
+                proj = None
+                for j, (a, b) in enumerate(direction_jobs()):
+                    expr = F.lit(a) * F.col("lon") + F.lit(b) * F.col("lat")
+                    proj = (
+                        F.when(F.col("job") == j, expr)
+                        if proj is None
+                        else proj.when(F.col("job") == j, expr)
+                    )
+                w = Window.partitionBy("root", "path", "job").orderBy(
+                    F.col("proj").asc(), F.col("vertex_id").asc()
+                )
+                act10 = (
+                    act.crossJoin(F.broadcast(_jobs()))
+                    .withColumn("proj", proj)
+                    .withColumn("rn", F.row_number().over(w))
+                    .join(ksrc, ["root", "path"])
+                    .withColumn(
+                        "role",
+                        F.when(F.col("rn") <= F.col("k"), F.lit("src"))
+                        .when(F.col("rn") > F.col("n") - F.col("k"), F.lit("snk"))
+                        .otherwise(F.lit("non")),
+                    )
+                    .join(cc, ["root", "path", "vertex_id"])
+                    .select(
+                        "root", "path", "comp", "job", "vertex_id",
+                        "lat", "lon", "rn", "role",
+                    )
+                )
+                # re-alias every column (fresh expr ids) — cc feeds both
+                # cogroup sides and would otherwise trip the ambiguous
+                # self-join check
+                cc_e = cc.select(
+                    F.col("root").alias("root"),
+                    F.col("path").alias("path"),
+                    F.col("vertex_id").alias("tail"),
+                    F.col("comp").alias("comp"),
+                )
+                e10 = (
+                    e_act.join(cc_e, ["root", "path", "tail"])
+                    .crossJoin(F.broadcast(_jobs()))
+                    .select("root", "path", "comp", "job", "edge_id", "tail", "head")
+                )
                 out = (
-                    act10.groupBy("root", "path", "job")
-                    .cogroup(e10.groupBy("root", "path", "job"))
-                    .applyInPandas(_make_direction_kernel(rate), schema=DIR_OUT_SCHEMA)
+                    act10.groupBy("root", "path", "comp", "job")
+                    .cogroup(e10.groupBy("root", "path", "comp", "job"))
+                    .applyInPandas(_make_direction_kernel(), schema=DIR_OUT_SCHEMA)
                     .persist()
                 )
                 to_unpersist.append(out)
                 m = (
-                    out.groupBy("root", "path", "job")
+                    out.groupBy("root", "path", "comp", "job")
                     .agg(
-                        F.first("n").alias("n"),
                         F.first("cut_edges").alias("cut_edges"),
                         F.first("part_two").alias("part_two"),
+                    )
+                    .groupBy("root", "path", "job")
+                    .agg(
+                        F.sum("cut_edges").alias("cut_edges"),
+                        F.sum("part_two").alias("part_two"),
                     )
                     .collect()
                 )
                 # frozen argmin (cut, balance, job) per cell (SURVEY.md §7)
                 best: dict[tuple[int, int], tuple] = {}
                 for r in m:
-                    balance = abs(r["n"] // 2 - r["part_two"])
-                    k = (r["root"], r["path"])
+                    cell = (r["root"], r["path"])
+                    n_cell = big_sizes[cell]
+                    balance = abs(n_cell // 2 - r["part_two"])
                     key = (r["cut_edges"], balance, r["job"])
-                    if k not in best or key < best[k][0]:
-                        best[k] = (key, r)
-                winners = [
-                    (k[0], k[1], int(v[0][2])) for k, v in best.items()
-                ]
+                    if cell not in best or key < best[cell][0]:
+                        best[cell] = (key, r)
+                winners = [(c[0], c[1], int(v[0][2])) for c, v in best.items()]
                 wdf = F.broadcast(
                     spark.createDataFrame(winners, "root long, path long, job int")
                 )
@@ -373,27 +496,28 @@ def _run_level(
                     )
                 )
                 for (root, path), (key, r) in best.items():
+                    n_cell = big_sizes[(root, path)]
+                    p2 = int(r["part_two"])
                     metrics_rows.append(
                         {
                             "level": level,
                             "round": rnd,
                             "root": root,
                             "parent_path": path,
-                            "n": r["n"],
-                            "cut_edges": r["cut_edges"],
-                            "part_two": r["part_two"],
-                            "best_job": r["job"],
-                            "n_empty": 1 if r["part_two"] == r["n"] else 0,
+                            "n": n_cell,
+                            "cut_edges": int(r["cut_edges"]),
+                            "part_two": p2,
+                            "best_job": int(r["job"]),
+                            "n_empty": 1 if p2 == n_cell else 0,
                             "mode": "direction",
                         }
                     )
-                    if r["part_two"] == r["n"]:
+                    if p2 == n_cell:
                         empties[root] = empties.get(root, 0) + 1
-                    one = int(r["n"]) - int(r["part_two"])
-                    if one > 0:
-                        sizes[(root, path * 2)] = one
-                    if int(r["part_two"]) > 0:
-                        sizes[(root, path * 2 + 1)] = int(r["part_two"])
+                    if n_cell - p2 > 0:
+                        sizes[(root, path * 2)] = n_cell - p2
+                    if p2 > 0:
+                        sizes[(root, path * 2 + 1)] = p2
             else:
                 run_cell_mode(big_keys, _make_bisect_kernel(rate), True)
 
