@@ -46,10 +46,19 @@ def extract_entities(pages: DataFrame, res: int = 6) -> DataFrame:
             .alias("lon"),
         )
     )
-    # distributed dense ids: partition offsets + local row_number
-    part = mentions.repartitionByRange(
-        max(mentions.sparkSession.sparkContext.defaultParallelism, 2), "url", "pos"
-    ).withColumn("pid", F.spark_partition_id())
+    # distributed dense ids: partition offsets + local row_number.
+    # The range partitioning MUST be pinned (localCheckpoint) before the
+    # two passes — re-materialization may re-sample different range
+    # boundaries, which would assign duplicate ids across partitions.
+    part = (
+        mentions.repartitionByRange(
+            max(mentions.sparkSession.sparkContext.defaultParallelism, 2),
+            "url",
+            "pos",
+        )
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
     counts = {r["pid"]: r["cnt"] for r in part.groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
     offsets = {}
     acc = 0
