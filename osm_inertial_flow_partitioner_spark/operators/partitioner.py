@@ -69,10 +69,10 @@ DIR_OUT_SCHEMA = (
 CC_OUT_SCHEMA = "root long, path long, vertex_id long, comp long"
 
 #: active cells smaller than this finish their whole recursion in one
-#: kernel call (a few MB of int64/float64 arrays per cell). 8k keeps
-#: individual finish-tasks to seconds (straggler control) while still
+#: kernel call (a few MB of int64/float64 arrays per cell). 16k keeps
+#: individual finish-tasks to ~10-30s (straggler control) while
 #: collapsing the deep tail of the bisection tree into one pass.
-DEFAULT_LOCAL_RECURSION_THRESHOLD = 1 << 13
+DEFAULT_LOCAL_RECURSION_THRESHOLD = 1 << 14
 
 
 def _sorted_cell_arrays(vdf: pd.DataFrame, edf: pd.DataFrame):
@@ -375,7 +375,11 @@ def _run_level(
             run_cell_mode(small_keys, _make_finish_kernel(max_cell_size, rate), False)
 
         if big_keys:
-            if len(big_keys) < parallelism:
+            # the mode split is a FIXED constant, not a function of the
+            # cluster size: the plan (and hence the work) must be
+            # identical at every parallelism level, otherwise scaling
+            # measurements compare different jobs
+            if len(big_keys) <= 3:
                 # mode 1: (cell x direction x component) groups — the 10
                 # inertial jobs fan out as tasks AND each job decomposes
                 # exactly by connected component (see _make_direction_kernel)
