@@ -375,11 +375,13 @@ def _run_level(
             run_cell_mode(small_keys, _make_finish_kernel(max_cell_size, rate), False)
 
         if big_keys:
-            # the mode split is a FIXED constant, not a function of the
-            # cluster size: the plan (and hence the work) must be
-            # identical at every parallelism level, otherwise scaling
-            # measurements compare different jobs
-            if len(big_keys) <= 3:
+            # every big cell goes through the component-direction mode:
+            # a whole-cell kernel task would serialize 10 direction jobs
+            # over a >=16k-vertex subgraph (a 50-200s straggler no amount
+            # of executors can split), while (cell x direction x
+            # component) tasks stay small and scale. The plan is also
+            # independent of cluster size by construction.
+            if True:
                 # mode 1: (cell x direction x component) groups — the 10
                 # inertial jobs fan out as tasks AND each job decomposes
                 # exactly by connected component (see _make_direction_kernel)
