@@ -69,10 +69,10 @@ DIR_OUT_SCHEMA = (
 CC_OUT_SCHEMA = "root long, path long, vertex_id long, comp long"
 
 #: active cells smaller than this finish their whole recursion in one
-#: kernel call (a few MB of int64/float64 arrays per cell). 16k keeps
-#: individual finish-tasks to ~10-30s (straggler control) while
+#: kernel call (a few MB of int64/float64 arrays per cell). 8k keeps
+#: individual finish-tasks to seconds (straggler control) while still
 #: collapsing the deep tail of the bisection tree into one pass.
-DEFAULT_LOCAL_RECURSION_THRESHOLD = 1 << 14
+DEFAULT_LOCAL_RECURSION_THRESHOLD = 1 << 13
 
 
 def _sorted_cell_arrays(vdf: pd.DataFrame, edf: pd.DataFrame):
@@ -375,13 +375,13 @@ def _run_level(
             run_cell_mode(small_keys, _make_finish_kernel(max_cell_size, rate), False)
 
         if big_keys:
-            # every big cell goes through the component-direction mode:
-            # a whole-cell kernel task would serialize 10 direction jobs
-            # over a >=16k-vertex subgraph (a 50-200s straggler no amount
-            # of executors can split), while (cell x direction x
-            # component) tasks stay small and scale. The plan is also
-            # independent of cluster size by construction.
-            if True:
+            # adaptive physical strategy (AQE-style): when the active big
+            # cells cannot fill the cluster on their own, fan each one out
+            # into (direction x component) tasks; once there are enough
+            # cells to saturate, the plain per-cell kernel is cheaper
+            # (no 10x duplication / CC / role-window overhead). Results
+            # are identical either way (equivalence suite covers both).
+            if len(big_keys) < parallelism:
                 # mode 1: (cell x direction x component) groups — the 10
                 # inertial jobs fan out as tasks AND each job decomposes
                 # exactly by connected component (see _make_direction_kernel)
