@@ -39,8 +39,9 @@ def main() -> None:
 
     # ---- flagship: end-to-end tile pipeline over synthetic CC pages ----
     # big enough that the parallel tail (per-cell kernels) dominates the
-    # O(log) serial bisection prefix — the regime the engine targets
-    n_docs = max(int(1_000_000 * sf), 2_000) if sf else 5_000
+    # O(log) serial bisection prefix — the regime the engine targets —
+    # while keeping a single bench run within a few minutes
+    n_docs = max(int(500_000 * sf), 2_000) if sf else 5_000
     t0 = time.time()
     pages = generate_pages(spark, n_docs, num_partitions=int(cpus) * 2)
     pages = pages.persist()
