@@ -278,12 +278,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def w1_extreme_selection(spark, sf):
         # W1 source/sink selection semantics: first/last int(n*0.25) by
-        # (value, id) over the customer balance ordering
-        c = _t(spark, sf, "customer")
+        # (value, id) over the customer balance ordering. Global ranks use
+        # the scalable two-phase pattern (range partition + per-partition
+        # row_number + broadcast offsets) — no single-partition window.
+        c = _t(spark, sf, "customer").select("c_custkey", "c_acctbal")
         n = c.count()
         k = int(n * 0.25)
-        wa = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
-        ranked = c.withColumn("rk", F.row_number().over(wa))
+        nparts = max(spark.sparkContext.defaultParallelism, 2)
+        part = (
+            c.repartitionByRange(nparts, F.asc("c_acctbal"), F.asc("c_custkey"))
+            .withColumn("pid", F.spark_partition_id())
+            .localCheckpoint(eager=True)  # pin range boundaries across passes
+        )
+        counts = {
+            r["pid"]: r["cnt"]
+            for r in part.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+        }
+        acc, offsets = 0, {}
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        off = F.broadcast(
+            spark.createDataFrame(
+                [(int(p), int(o)) for p, o in offsets.items()], "pid int, offset long"
+            )
+        )
+        wl = Window.partitionBy("pid").orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+        ranked = part.join(off, "pid").withColumn(
+            "rk", F.col("offset") + F.row_number().over(wl)
+        )
         return ranked.filter((F.col("rk") <= k) | (F.col("rk") > n - k)).select(
             "c_custkey",
             F.when(F.col("rk") <= k, F.lit("source")).otherwise(F.lit("sink")).alias("side"),
@@ -477,11 +500,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["barrier_split"] = barrier_split
 
     def multimodal_features(spark, sf):
+        # long-form (media_id, idx, value) so the driver canonicalizer can
+        # hash it (array<float> columns are unhashable in pandas)
         media = spark.createDataFrame(
             [(i, "image", bytes([i % 7] * 32), 8, 8, 0) for i in range(20)],
             "media_id long, kind string, payload binary, width int, height int, duration_ms int",
         )
-        return extract_features(media)
+        return extract_features(media).select(
+            "media_id", F.posexplode("features").alias("idx", "value")
+        ).select(
+            "media_id",
+            F.col("idx").cast("long").alias("idx"),
+            F.round(F.col("value").cast("double"), 6).alias("value"),
+        )
 
     q["multimodal_features"] = multimodal_features
 
@@ -795,7 +826,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_sql(),
         "jaccard_pairs": f"""
             WITH toks AS ({_TOKS_SQL}),
-            dt AS (SELECT DISTINCT doc_id, tok FROM toks),
+            dt0 AS (SELECT DISTINCT doc_id, tok FROM toks),
+            keep AS (SELECT tok FROM dt0 GROUP BY tok HAVING count(*) <= 1000),
+            dt AS (SELECT dt0.* FROM dt0 JOIN keep USING (tok)),
             sizes AS (SELECT doc_id, count(*) AS sz FROM dt GROUP BY doc_id),
             inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
                       FROM dt a JOIN dt b ON a.tok = b.tok AND a.doc_id < b.doc_id
@@ -877,6 +910,13 @@ def oracle_sql() -> dict[str, str]:
             WITH {_way_cte()}
             SELECT way_id, seg, pos, node_id FROM segs
         """,
+        # the fake decoder tiles payload bytes([i%7]*32) to a constant
+        # 16x16 array, so every feature value is exactly media_id % 7
+        # (operators/multimodal.py::_fake_decode)
+        "multimodal_features": """
+            SELECT i AS media_id, j AS idx, (i % 7)::DOUBLE AS value
+            FROM generate_series(0, 19) t(i) CROSS JOIN generate_series(0, 15) u(j)
+        """,
         "way_edges": _way_edges_sql(),
         "turn_table": f"""
             WITH e AS (SELECT * FROM {turn_edges_values_sql()}),
@@ -884,13 +924,16 @@ def oracle_sql() -> dict[str, str]:
             entries AS (SELECT DISTINCT head AS via, tail AS from_node FROM e),
             exits AS (SELECT DISTINCT tail AS via, head AS to_node FROM e),
             pairs AS (SELECT * FROM entries JOIN exits USING (via)),
-            no_r AS (SELECT via, from_node, to_node, TRUE AS is_no FROM r WHERE kind = 'no'),
-            only_r AS (SELECT via, from_node, to_node AS only_to, TRUE AS has_only
-                       FROM r WHERE kind = 'only')
+            no_r AS (SELECT DISTINCT via, from_node, to_node, TRUE AS is_no
+                     FROM r WHERE kind = 'no'),
+            only_r AS (SELECT via, from_node, min(to_node) AS only_min,
+                              max(to_node) AS only_max, TRUE AS has_only
+                       FROM r WHERE kind = 'only' GROUP BY via, from_node)
             SELECT p.via::BIGINT AS via, p.from_node::BIGINT AS from_node,
                    p.to_node::BIGINT AS to_node,
                    (CASE WHEN n.is_no THEN 4
-                         WHEN o.has_only AND p.to_node <> o.only_to THEN 4
+                         WHEN o.has_only AND (o.only_min <> o.only_max
+                                              OR p.to_node <> o.only_min) THEN 4
                          ELSE 5 END)::INT AS turn_type
             FROM pairs p
             LEFT JOIN no_r n USING (via, from_node, to_node)

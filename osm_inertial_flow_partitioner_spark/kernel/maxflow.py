@@ -304,11 +304,12 @@ def _dfs_augment(g: _ExtGraph, s: int, t: int) -> int:
 
 def dinic_min_cut(
     base: FlowGraph, sources: np.ndarray, sinks: np.ndarray
-) -> tuple[np.ndarray, int, int]:
+) -> tuple[np.ndarray, int, int, "_ExtGraph"]:
     """computeMinCutSuperSourceSink (dinic_sources_sinks.go:75-102).
 
-    Returns (flags over the n real vertices, True = source side /
-    partition one; num_nodes_in_partition_two; cut_edges = max flow).
+    Returns a 4-tuple (flags over the n real vertices, True = source
+    side / partition one; num_nodes_in_partition_two; cut_edges = max
+    flow; the extended graph with final flow state, for validation).
     """
     g = base.extended(sources, sinks)
     s, t = base.n, base.n + 1

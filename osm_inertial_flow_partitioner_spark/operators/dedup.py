@@ -118,15 +118,26 @@ def simhash_dup_groups(docs: DataFrame, bits: int = 32, text_col: str = "text") 
 
 
 def jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.5, text_col: str = "text"
+    docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    df_cap: int = 1000,
 ) -> DataFrame:
     """Word-set Jaccard similarity pairs >= threshold.
 
     |A ∩ B| via token self-join + count, |A ∪ B| = |A| + |B| - |A ∩ B|.
-    The token join is the shuffle; frequent tokens are the skew risk —
-    at scale, drop ultra-frequent tokens first (document frequency cap),
-    which standard MinHash-LSH replaces anyway."""
+    The token self-join is O(sum df^2): a token in d docs generates d^2
+    candidate rows, so ultra-frequent tokens (stopwords at CC scale) are
+    dropped FIRST via a document-frequency cap — tokens with df > df_cap
+    are removed from every token set (sizes and intersections both see
+    the capped sets, so the Jaccard stays internally consistent). This
+    bounds the join at O(n * df_cap) rows; MinHash-LSH remains the
+    production path for full-corpus near-dup."""
     toks = _doc_tokens(docs, text_col)
+    if df_cap is not None:
+        df_counts = toks.groupBy("tok").agg(F.count("*").alias("df"))
+        keep = df_counts.filter(F.col("df") <= df_cap).select("tok")
+        toks = toks.join(keep, "tok", "left_semi")
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
         toks.alias("a")

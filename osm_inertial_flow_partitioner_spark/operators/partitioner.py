@@ -101,6 +101,11 @@ def _make_finish_kernel(max_cell_size: int, rate: float):
         nonempty = [c for c in res.cells if len(c)]
         n_empty = len(res.cells) - len(nonempty)
         bits = max(int(np.ceil(np.log2(len(res.cells) + 1))), 1)
+        # heap path gains `bits` low bits here (plus 1 bit per earlier
+        # bisection round); overflow would silently alias distinct cells
+        assert (path << bits) < 2**62, (
+            f"cell path {path} << {bits} overflows the int64 heap path"
+        )
         frames = []
         for i, cell in enumerate(nonempty):
             sel = np.isin(ids, cell)
@@ -132,6 +137,9 @@ def _make_bisect_kernel(rate: float):
     def kernel(key, vdf: pd.DataFrame, edf: pd.DataFrame) -> pd.DataFrame:
         root, path = int(key[0]), int(key[1])
         ids, lat, lon, tails, heads = _sorted_cell_arrays(vdf, edf)
+        assert (path << 1) < 2**62, (
+            f"cell path {path} << 1 overflows the int64 heap path"
+        )
         side, st = bisect_once(ids, lat, lon, tails, heads, rate)
         return pd.DataFrame(
             {
@@ -309,12 +317,17 @@ def _run_level(
             active = [(k, s) for k, s in sizes.items() if s >= max_cell_size]
         if not active:
             break
+        # every bisection round appends >= 1 bit to the heap path
+        assert max(p for (_r, p), _s in active) < 2**61, (
+            "heap-numbered cell path near int64 overflow"
+        )
         n_metrics_before = len(metrics_rows)
         _t_round = time.time()
         small_keys = [k for k, s in active if s < local_threshold]
         big_keys = [k for k, s in active if s >= local_threshold]
         all_keys = small_keys + big_keys
-        sizes = {k: s for k, s in sizes.items() if k not in set(all_keys)}
+        active_key_set = set(all_keys)
+        sizes = {k: s for k, s in sizes.items() if k not in active_key_set}
 
         ak = F.broadcast(spark.createDataFrame(all_keys, "root long, path long"))
         inactive = assign.join(ak, ["root", "path"], "left_anti")
@@ -623,6 +636,14 @@ def multilevel_partition(
     L = config.levels
     cell_sizes = config.cell_sizes
     rate = config.rate
+    if checkpoint is not None and not checkpoint.config_token:
+        # bind the snapshot dir to this configuration — resuming after a
+        # config change must recompute, not replay stale rounds
+        from ..plans.checkpoint import derive_config_token
+
+        checkpoint.config_token = derive_config_token(
+            cell_sizes, rate, local_recursion_threshold
+        )
     n = vertices.count()
     metrics_rows: list = []
 

@@ -38,11 +38,27 @@ def turn_table(edges: DataFrame, restrictions: DataFrame) -> DataFrame:
     ).distinct()
     pairs = entries.join(exits, "via")
 
-    no = restrictions.filter(F.col("kind") == "no").select(
-        "via", "from_node", "to_node", F.lit(True).alias("is_no")
+    no = (
+        restrictions.filter(F.col("kind") == "no")
+        .select("via", "from_node", "to_node")
+        .distinct()  # duplicate 'no' rows must not multiply pair rows
+        .withColumn("is_no", F.lit(True))
     )
-    only = restrictions.filter(F.col("kind") == "only").select(
-        "via", "from_node", F.col("to_node").alias("only_to"), F.lit(True).alias("has_only")
+    # Multiple 'only' restrictions for one (via, from_node) are
+    # NO_ENTRY-dominant (each marks every other exit NO_ENTRY, so with
+    # two distinct targets EVERY exit ends up NO_ENTRY — the reference's
+    # sequential matrix writes converge to the same set except for the
+    # map-iteration-order-dependent last writer, which we freeze to the
+    # dominant NO_ENTRY). Aggregating to min/max keeps exactly one row
+    # per (via, from_node), so the left join never duplicates pairs.
+    only = (
+        restrictions.filter(F.col("kind") == "only")
+        .groupBy("via", "from_node")
+        .agg(
+            F.min("to_node").alias("only_min"),
+            F.max("to_node").alias("only_max"),
+        )
+        .withColumn("has_only", F.lit(True))
     )
     out = (
         pairs.join(F.broadcast(no), ["via", "from_node", "to_node"], "left")
@@ -51,7 +67,11 @@ def turn_table(edges: DataFrame, restrictions: DataFrame) -> DataFrame:
             "turn_type",
             F.when(F.col("is_no"), F.lit(NO_ENTRY))
             .when(
-                F.col("has_only") & (F.col("to_node") != F.col("only_to")),
+                F.col("has_only")
+                & (
+                    (F.col("only_min") != F.col("only_max"))
+                    | (F.col("to_node") != F.col("only_min"))
+                ),
                 F.lit(NO_ENTRY),
             )
             .otherwise(F.lit(NONE)),

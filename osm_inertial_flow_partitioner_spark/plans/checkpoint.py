@@ -21,11 +21,28 @@ assignment is byte-identical (tested in tests/test_pipeline_streaming.py).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def derive_config_token(cell_sizes, rate, local_recursion_threshold) -> str:
+    """Deterministic token over everything that changes the assignment —
+    resuming a checkpoint dir written under a different configuration
+    must MISS (stale per-round snapshots would silently produce a wrong
+    final assignment otherwise)."""
+    payload = json.dumps(
+        {
+            "cell_sizes": list(cell_sizes),
+            "rate": rate,
+            "local_recursion_threshold": local_recursion_threshold,
+        },
+        sort_keys=True,
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
 class RoundCheckpoint:
@@ -61,6 +78,11 @@ class RoundCheckpoint:
     def has_round(self, level: int, rnd: int) -> bool:
         p = os.path.join(self._dir(level, rnd), "manifest.json")
         if not os.path.exists(p):
+            return False
+        if not self.config_token:
+            # an empty token cannot prove the snapshot matches this
+            # configuration — never replay (multilevel_partition always
+            # derives a token, so this only guards direct callers)
             return False
         with open(p) as f:
             return json.load(f).get("config_token") == self.config_token

@@ -92,7 +92,9 @@ TURN_EDGES = [
 RESTRICTIONS = [
     (100, 1, 3, "no"),       # no_left_turn 1 -> 100 -> 3
     (100, 2, 4, "only"),     # only_straight 2 -> 100 -> 4
+    (100, 2, 3, "only"),     # conflicting 'only' -> everything NO_ENTRY
     (200, 4, 5, "no"),
+    (200, 4, 5, "no"),       # duplicate 'no' (must not multiply rows)
 ]
 
 TURN_EDGES_SCHEMA = "tail long, head long"
