@@ -52,12 +52,14 @@ from .operators.multimodal import extract_features
 from .operators.textops import document_stats
 from .operators.waygraph import (
     ACCEPTED_HIGHWAY,
+    BARRIER_KINDS,
     DEFAULT_SPEED,
     accepted_ways,
     add_dummy_self_edges,
     referenced_nodes,
     segment_edges,
     split_at_barriers,
+    split_loops,
     way_segments,
 )
 from .sources.extract import knn_adjacency
@@ -470,23 +472,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- geometry kernels (rows-only: pandas UDFs, no SQL twin) ----
     def rdp_polyline(spark, sf):
+        # edge geometries = loop-split segments (the reference simplifies
+        # per materialized edge, after processSegment's loop handling)
         w, n = ways_df(spark), nodes_df(spark)
-        segs = way_segments(w).join(n.select("node_id", "lat", "lon"), "node_id")
+        segs = split_loops(way_segments(w)).join(
+            n.select("node_id", "lat", "lon"), "node_id"
+        )
         geom = (
-            segs.orderBy("way_id", "seg", "pos")
-            .groupBy("way_id", "seg")
+            segs.groupBy("way_id", "seg", "lpart")
             .agg(
                 F.sort_array(
                     F.collect_list(F.struct("pos", F.struct("lat", "lon").alias("p")))
                 ).alias("sorted")
             )
             .select(
-                "way_id", "seg", F.transform("sorted", lambda s: s["p"]).alias("geom")
+                "way_id", "seg", "lpart",
+                F.transform("sorted", lambda s: s["p"]).alias("geom"),
             )
         )
         return geom.select(
             "way_id",
             "seg",
+            "lpart",
             F.size(rdp_simplify_udf(F.col("geom"))).alias("n_simplified"),
             polyline_encode_udf(F.col("geom")).alias("polyline"),
         )
@@ -494,8 +501,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rdp_polyline"] = rdp_polyline
 
     def barrier_split(spark, sf):
+        # reference order: junction split -> loop split -> barrier split
         w, n = ways_df(spark), nodes_df(spark)
-        return split_at_barriers(way_segments(w), n)
+        return split_at_barriers(split_loops(way_segments(w)), n)
 
     q["barrier_split"] = barrier_split
 
@@ -645,6 +653,59 @@ def _way_cte() -> str:
     )
 
 
+def _loop_split_cte() -> str:
+    """E2 loop split over the ``segs`` CTE (osm_parser2.go:829-836):
+    2-node self-hops drop; longer loops split into [0, n-2] + [n-2, n-1]."""
+    return (
+        "per0 AS (SELECT way_id, seg, count(*) AS n_seg, "
+        "arg_min(node_id, pos) AS fn, arg_max(node_id, pos) AS ln "
+        "FROM segs GROUP BY way_id, seg), "
+        "sl0 AS (SELECT s.way_id, s.seg, s.pos, s.node_id, p.n_seg, p.fn, p.ln, "
+        "row_number() OVER (PARTITION BY s.way_id, s.seg ORDER BY s.pos) AS rk "
+        "FROM segs s JOIN per0 p USING (way_id, seg)), "
+        "sl AS (SELECT way_id, seg, 0 AS lpart, pos, node_id FROM sl0 "
+        "WHERE NOT (n_seg = 2 AND fn = ln) "
+        "AND (NOT (n_seg > 2 AND fn = ln) OR rk <= n_seg - 1) "
+        "UNION ALL "
+        "SELECT way_id, seg, 1 AS lpart, pos, node_id FROM sl0 "
+        "WHERE n_seg > 2 AND fn = ln AND rk >= n_seg - 1)"
+    )
+
+
+def _barrier_split_sql() -> str:
+    """E3 oracle: barrier nodes interior to a (way, seg, lpart) group end
+    the sub-segment under their original id and reopen it as a clone
+    (node_id + 1e9), mirroring operators/waygraph.py::split_at_barriers."""
+    kinds = ", ".join(f"'{k}'" for k in BARRIER_KINDS)
+    return f"""
+        WITH {_way_cte()},
+        {_loop_split_cte()},
+        b AS (SELECT node_id,
+                (coalesce(barrier, '') IN ({kinds})
+                 AND coalesce(access, '') = 'no') AS is_barrier
+              FROM nodes),
+        be AS (SELECT s.way_id, s.seg, s.lpart, s.pos, s.node_id,
+                 coalesce(b.is_barrier, FALSE) AS is_barrier,
+                 row_number() OVER (PARTITION BY s.way_id, s.seg, s.lpart
+                                    ORDER BY s.pos) AS rk,
+                 count(*) OVER (PARTITION BY s.way_id, s.seg, s.lpart) AS n
+               FROM sl s LEFT JOIN b USING (node_id)),
+        sp AS (SELECT *, CASE WHEN is_barrier AND rk > 1 AND rk < n
+                              THEN 1 ELSE 0 END AS is_split FROM be),
+        cum AS (SELECT *, sum(is_split) OVER (PARTITION BY way_id, seg, lpart
+                  ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS sub FROM sp)
+        SELECT way_id, seg, lpart, sub::BIGINT AS sub, pos, node_id
+        FROM cum WHERE is_split = 0
+        UNION ALL
+        SELECT way_id, seg, lpart, (sub - 1)::BIGINT, pos, node_id
+        FROM cum WHERE is_split = 1
+        UNION ALL
+        SELECT way_id, seg, lpart, sub::BIGINT, pos, node_id + 1000000000
+        FROM cum WHERE is_split = 1
+    """
+
+
 def _speed_case_sql() -> str:
     num = "nullif(regexp_extract(maxspeed, '^\\s*(\\d+(?:\\.\\d+)?)', 1), '')::DOUBLE"
     fb = "30.0"
@@ -665,16 +726,17 @@ def _way_edges_sql() -> str:
     speed = _speed_case_sql()
     return f"""
         WITH {_way_cte()},
-        pts AS (SELECT s.way_id, s.seg, s.pos, s.node_id, n.lat, n.lon
-                FROM segs s JOIN nodes n USING (node_id)),
-        hops AS (SELECT way_id, seg, pos, node_id,
+        {_loop_split_cte()},
+        pts AS (SELECT s.way_id, s.seg, s.lpart, s.pos, s.node_id, n.lat, n.lon
+                FROM sl s JOIN nodes n USING (node_id)),
+        hops AS (SELECT way_id, seg, lpart, pos, node_id,
                    coalesce({hav}, 0.0) * 1000.0 AS hop_m
-                 FROM pts WINDOW w AS (PARTITION BY way_id, seg ORDER BY pos)),
-        per_seg AS (SELECT way_id, seg, sum(hop_m) AS dist_m,
+                 FROM pts WINDOW w AS (PARTITION BY way_id, seg, lpart ORDER BY pos)),
+        per_seg AS (SELECT way_id, seg, lpart, sum(hop_m) AS dist_m,
                       arg_min(node_id, pos) AS first_node,
                       arg_max(node_id, pos) AS last_node,
                       count(*) AS n_pts
-                    FROM hops GROUP BY way_id, seg),
+                    FROM hops GROUP BY way_id, seg, lpart),
         ok AS (SELECT * FROM per_seg WHERE n_pts >= 2 AND first_node <> last_node),
         e AS (SELECT ok.*, w.highway, w.junction, w.oneway, w.maxspeed,
                 ({speed}) AS speed_kmh,
@@ -918,6 +980,26 @@ def oracle_sql() -> dict[str, str]:
             FROM generate_series(0, 19) t(i) CROSS JOIN generate_series(0, 15) u(j)
         """,
         "way_edges": _way_edges_sql(),
+        "barrier_split": _barrier_split_sql(),
+        # golden VALUES pinned from the deterministic way/node fixture
+        # (sf-independent): RDP at 1.0 m + Google polyline encoding over
+        # the loop-split segment geometries. Endpoint/corner behavior is
+        # independently property-tested in tests/test_waygraph_geometry.py
+        # (Google's published reference vector included).
+        "rdp_polyline": """
+            SELECT * FROM (VALUES
+              (1, 0, 0, 2, '???o}@'),
+              (1, 1, 0, 2, '?o}@?o}@'),
+              (1, 2, 0, 2, '?_|B?o}@'),
+              (2, 0, 0, 2, '?_|Bo}@?o}@?'),
+              (4, 0, 0, 3, 'owHowH?o}@o}@?'),
+              (4, 0, 1, 2, '_vJ_vJn}@n}@'),
+              (5, 0, 0, 2, '?ozD?o}@?o}@'),
+              (6, 0, 0, 2, '?o}@n}@?'),
+              (8, 0, 0, 2, 'o}@w|An}@g^'),
+              (8, 1, 0, 2, '?_|Bn}@g^')
+            ) AS t(way_id, seg, lpart, n_simplified, polyline)
+        """,
         "turn_table": f"""
             WITH e AS (SELECT * FROM {turn_edges_values_sql()}),
             r AS (SELECT * FROM {restrictions_values_sql()}),

@@ -10,6 +10,9 @@ re-expressed relationally (SURVEY.md §2.G), over generic ``ways`` /
   junction closes one segment and opens the next, appearing in both
   (`osm_parser2.go:687-808`, split loop :782-806) — posexplode +
   prefix-sum window + a duplicated junction row;
+- E2 loop-segment split (`osm_parser2.go:829-836`): a segment whose
+  first and last node coincide splits into [0, n-2] + [n-2, n-1]
+  (single-way roundabouts keep their edges); a 2-node self-hop drops;
 - E3 barrier splitting with node cloning (`osm_parser2.go:840-883`);
 - F12 maxspeed parse with mph/km/h/knots units + per-class fallback
   (`osm_parser2.go:744-769`, `roadTypeMaxSpeed2` :1010-1049) and the
@@ -102,6 +105,37 @@ def way_segments(ways: DataFrame) -> DataFrame:
     )
 
 
+def split_loops(segs: DataFrame) -> DataFrame:
+    """E2: loop-segment handling (processSegment,
+    osm_parser2.go:829-836). Per (way_id, seg) with first_node ==
+    last_node:
+
+    - 2 nodes: the degenerate self-hop is dropped entirely;
+    - > 2 nodes (every single-way roundabout): split into nodes
+      [0, n-2] (loop part 0) and [n-2, n-1] (loop part 1) — the node at
+      position n-2 appears in both, so the loop contributes the long arc
+      plus the closing hop as two separate edges.
+
+    Returns (way_id, seg, lpart, pos, node_id); non-loop segments pass
+    through with lpart = 0."""
+    per = segs.groupBy("way_id", "seg").agg(
+        F.min_by("node_id", "pos").alias("fn"),
+        F.max_by("node_id", "pos").alias("ln"),
+        F.count("*").alias("n_seg"),
+    )
+    w = Window.partitionBy("way_id", "seg").orderBy("pos")
+    e = segs.join(per, ["way_id", "seg"]).withColumn("rk", F.row_number().over(w))
+    is_self_hop = (F.col("n_seg") == 2) & (F.col("fn") == F.col("ln"))
+    is_loop = (F.col("n_seg") > 2) & (F.col("fn") == F.col("ln"))
+    part0 = e.filter(
+        ~is_self_hop & (~is_loop | (F.col("rk") <= F.col("n_seg") - 1))
+    ).select("way_id", "seg", F.lit(0).alias("lpart"), "pos", "node_id")
+    part1 = e.filter(is_loop & (F.col("rk") >= F.col("n_seg") - 1)).select(
+        "way_id", "seg", F.lit(1).alias("lpart"), "pos", "node_id"
+    )
+    return part0.unionByName(part1)
+
+
 def parse_speed(maxspeed, highway) -> F.Column:
     """F12: parse '50', '30 mph', '10 knots', '60 km/h'; fallback to the
     per-class default. Returns km/h (double)."""
@@ -136,15 +170,15 @@ def segment_edges(ways: DataFrame, nodes: DataFrame) -> DataFrame:
     (tail, head).
 
     Returns (tail, head, dist_m, weight_min) rounded for oracle parity."""
-    segs = way_segments(ways)
+    segs = split_loops(way_segments(ways))  # E2 before materialization
     pts = segs.join(nodes.select("node_id", "lat", "lon"), "node_id")
-    w = Window.partitionBy("way_id", "seg").orderBy("pos")
+    w = Window.partitionBy("way_id", "seg", "lpart").orderBy("pos")
     hop = haversine_km(
         F.lag("lat").over(w), F.lag("lon").over(w), F.col("lat"), F.col("lon")
     ) * 1000.0
     per_seg = (
         pts.withColumn("hop_m", F.coalesce(hop, F.lit(0.0)))
-        .groupBy("way_id", "seg")
+        .groupBy("way_id", "seg", "lpart")
         .agg(
             F.sum("hop_m").alias("dist_m"),
             F.min_by("node_id", "pos").alias("first_node"),
@@ -152,7 +186,9 @@ def segment_edges(ways: DataFrame, nodes: DataFrame) -> DataFrame:
             F.count("*").alias("n_pts"),
         )
         .filter(F.col("n_pts") >= 2)
-        .filter(F.col("first_node") != F.col("last_node"))  # loop guard (E2)
+        # addEdge's from==to guard (osm_parser2.go:896-898): interior
+        # duplicate nodes, not loops — loops were split above
+        .filter(F.col("first_node") != F.col("last_node"))
     )
     meta = ways.select("way_id", "highway", "junction", "oneway", "maxspeed")
     e = per_seg.join(meta, "way_id")
@@ -201,10 +237,14 @@ def add_dummy_self_edges(edges: DataFrame, nodes: DataFrame) -> DataFrame:
 def split_at_barriers(segs: DataFrame, nodes: DataFrame, id_offset: int = 10**9) -> DataFrame:
     """E3: at barrier nodes (barrier kind in the list AND access = 'no'),
     end the segment and clone the node with a fresh id (node_id +
-    id_offset) so the two sides disconnect (osm_parser2.go:840-883).
+    id_offset) so the two sides disconnect (osm_parser2.go:840-883;
+    processSegment2 runs AFTER the loop split, so each loop part splits
+    independently).
 
-    Input/output shape = way_segments output + (sub long) sub-segment id.
-    """
+    Input: way_segments output, optionally already loop-split (lpart
+    column; added as 0 when absent). Output adds (sub long)."""
+    if "lpart" not in segs.columns:
+        segs = segs.withColumn("lpart", F.lit(0))
     b = nodes.select(
         "node_id",
         (
@@ -213,9 +253,9 @@ def split_at_barriers(segs: DataFrame, nodes: DataFrame, id_offset: int = 10**9)
         ).alias("is_barrier"),
     )
     e = segs.join(b, "node_id", "left").na.fill({"is_barrier": False})
-    w = Window.partitionBy("way_id", "seg").orderBy("pos")
+    w = Window.partitionBy("way_id", "seg", "lpart").orderBy("pos")
     rk = F.row_number().over(w)
-    cnt = F.count("*").over(Window.partitionBy("way_id", "seg"))
+    cnt = F.count("*").over(Window.partitionBy("way_id", "seg", "lpart"))
     e = e.withColumn("rk", rk).withColumn("n", cnt).withColumn(
         "is_split",
         (F.col("is_barrier") & (F.col("rk") > 1) & (F.col("rk") < F.col("n"))).cast("int"),
@@ -231,8 +271,9 @@ def split_at_barriers(segs: DataFrame, nodes: DataFrame, id_offset: int = 10**9)
         "node_id", F.col("node_id") + F.lit(id_offset)
     )
     rest = e.filter(F.col("is_split") == 0)
+    cols = ["way_id", "seg", "lpart", "sub", "pos", "node_id"]
     return (
-        rest.select("way_id", "seg", "sub", "pos", "node_id")
-        .unionByName(closers.select("way_id", "seg", "sub", "pos", "node_id"))
-        .unionByName(openers.select("way_id", "seg", "sub", "pos", "node_id"))
+        rest.select(*cols)
+        .unionByName(closers.select(*cols))
+        .unionByName(openers.select(*cols))
     )

@@ -8,7 +8,9 @@ from osm_inertial_flow_partitioner_spark.functions.geometry import (
     rdp_simplify,
 )
 from osm_inertial_flow_partitioner_spark.operators.waygraph import (
+    segment_edges,
     split_at_barriers,
+    split_loops,
     way_segments,
 )
 from osm_inertial_flow_partitioner_spark.sources.way_fixtures import (
@@ -54,6 +56,36 @@ def test_junction_node_in_both_segments(spark):
     # way 2: node 3 at position 0 -> not a split point there
     w2 = [(r["seg"], r["node_id"]) for r in segs if r["way_id"] == 2]
     assert {s for s, _ in w2} == {0}
+
+
+def test_loop_way_splits_not_drops(spark):
+    # E2 (osm_parser2.go:829-836): the closed roundabout way 4
+    # [8, 9, 10, 8] splits into [8, 9, 10] + [10, 8] — its edges MUST
+    # exist (round-1 behavior silently dropped every single-way loop)
+    segs = split_loops(way_segments(ways_df(spark)))
+    w4 = [
+        (r["lpart"], r["pos"], r["node_id"])
+        for r in segs.filter(F.col("way_id") == 4).collect()
+    ]
+    assert sorted(w4) == [(0, 0, 8), (0, 1, 9), (0, 2, 10), (1, 2, 10), (1, 3, 8)]
+    edges = segment_edges(ways_df(spark), nodes_df(spark))
+    pairs = {
+        (r["tail"], r["head"])
+        for r in edges.filter(F.col("tail").isin(8, 9, 10)).collect()
+    }
+    # roundabout tag makes way 4 one-way: forward arcs only
+    assert pairs == {(8, 10), (10, 8)}
+
+
+def test_two_node_self_hop_dropped(spark):
+    # a 2-node closed way produces NO edge rows (processSegment skip)
+    ways = ways_df(spark).sparkSession.createDataFrame(
+        [(99, "residential", None, None, None, [50, 50])],
+        "way_id long, highway string, junction string, oneway string, "
+        "maxspeed string, nodes array<long>",
+    )
+    segs = split_loops(way_segments(ways))
+    assert segs.count() == 0
 
 
 def test_barrier_split_clones_node(spark):
