@@ -60,10 +60,11 @@ from .operators.waygraph import (
     segment_edges,
     split_at_barriers,
     split_loops,
+    traffic_light_nodes,
     way_segments,
 )
 from .sources.extract import knn_adjacency
-from .operators.turns import turn_table
+from .operators.turns import resolve_way_restrictions, turn_table
 from .sources.way_fixtures import (
     nodes_df,
     nodes_values_sql,
@@ -71,6 +72,8 @@ from .sources.way_fixtures import (
     restrictions_values_sql,
     turn_edges_df,
     turn_edges_values_sql,
+    way_restrictions_df,
+    way_restrictions_values_sql,
     ways_df,
     ways_values_sql,
 )
@@ -470,6 +473,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["turn_table"] = turn_table_q
 
+    def way_turn_table(spark, sf):
+        # J2 end-to-end: way-keyed restrictions resolved through way node
+        # lists, applied over the fixture's real segment edges
+        w, n = ways_df(spark), nodes_df(spark)
+        edges = segment_edges(w, n).select("tail", "head")
+        resolved = resolve_way_restrictions(w, way_restrictions_df(spark), edges)
+        return turn_table(edges, resolved)
+
+    q["way_turn_table"] = way_turn_table
+
     # ---- geometry kernels (rows-only: pandas UDFs, no SQL twin) ----
     def rdp_polyline(spark, sf):
         # edge geometries = loop-split segments (the reference simplifies
@@ -506,6 +519,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return split_at_barriers(split_loops(way_segments(w)), n)
 
     q["barrier_split"] = barrier_split
+
+    def traffic_lights(spark, sf):
+        # E5: full reference chain junction -> loop -> barrier -> pull
+        w, n = ways_df(spark), nodes_df(spark)
+        return traffic_light_nodes(
+            split_at_barriers(split_loops(way_segments(w)), n), n
+        )
+
+    q["traffic_lights"] = traffic_lights
 
     def multimodal_features(spark, sf):
         # long-form (media_id, idx, value) so the driver canonicalizer can
@@ -672,13 +694,11 @@ def _loop_split_cte() -> str:
     )
 
 
-def _barrier_split_sql() -> str:
-    """E3 oracle: barrier nodes interior to a (way, seg, lpart) group end
-    the sub-segment under their original id and reopen it as a clone
-    (node_id + 1e9), mirroring operators/waygraph.py::split_at_barriers."""
+def _barrier_core_cte() -> str:
+    """E3 over the loop-split CTE: ends with ``bs`` = barrier-split rows
+    (way_id, seg, lpart, sub, pos, node_id), clones at node_id + 1e9."""
     kinds = ", ".join(f"'{k}'" for k in BARRIER_KINDS)
     return f"""
-        WITH {_way_cte()},
         {_loop_split_cte()},
         b AS (SELECT node_id,
                 (coalesce(barrier, '') IN ({kinds})
@@ -694,15 +714,69 @@ def _barrier_split_sql() -> str:
                               THEN 1 ELSE 0 END AS is_split FROM be),
         cum AS (SELECT *, sum(is_split) OVER (PARTITION BY way_id, seg, lpart
                   ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  AS sub FROM sp)
-        SELECT way_id, seg, lpart, sub::BIGINT AS sub, pos, node_id
-        FROM cum WHERE is_split = 0
-        UNION ALL
-        SELECT way_id, seg, lpart, (sub - 1)::BIGINT, pos, node_id
-        FROM cum WHERE is_split = 1
-        UNION ALL
-        SELECT way_id, seg, lpart, sub::BIGINT, pos, node_id + 1000000000
-        FROM cum WHERE is_split = 1
+                  AS sub FROM sp),
+        bs AS (
+          SELECT way_id, seg, lpart, sub::BIGINT AS sub, pos, node_id
+          FROM cum WHERE is_split = 0
+          UNION ALL
+          SELECT way_id, seg, lpart, (sub - 1)::BIGINT, pos, node_id
+          FROM cum WHERE is_split = 1
+          UNION ALL
+          SELECT way_id, seg, lpart, sub::BIGINT, pos, node_id + 1000000000
+          FROM cum WHERE is_split = 1)
+    """
+
+
+def _barrier_split_sql() -> str:
+    """E3 oracle, mirroring operators/waygraph.py::split_at_barriers."""
+    return f"""
+        WITH {_way_cte()},
+        {_barrier_core_cte()}
+        SELECT way_id, seg, lpart, sub, pos, node_id FROM bs
+    """
+
+
+def _traffic_light_sql() -> str:
+    """E5 oracle: interior traffic-light tags pull to the closer
+    endpoint of their barrier-split segment (ties to the last endpoint);
+    endpoints keep their own tags; clones never inherit tags."""
+    hav_from = _HAVERSINE_SQL.format(
+        lat1="lat", lon1="lon", lat2="f_lat", lon2="f_lon"
+    )
+    hav_to = _HAVERSINE_SQL.format(
+        lat1="lat", lon1="lon", lat2="l_lat", lon2="l_lon"
+    )
+    return f"""
+        WITH {_way_cte()},
+        {_barrier_core_cte()},
+        nd AS (SELECT node_id AS orig_id, lat, lon,
+                 coalesce(signal, FALSE) AS sig0 FROM nodes),
+        p1 AS (SELECT b.*, CASE WHEN b.node_id >= 1000000000
+                 THEN b.node_id - 1000000000 ELSE b.node_id END AS orig_id
+               FROM bs b),
+        p2 AS (SELECT p.way_id, p.seg, p.lpart, p.sub, p.pos, p.node_id,
+                 n.lat, n.lon, (n.sig0 AND p.node_id < 1000000000) AS sig
+               FROM p1 p JOIN nd n USING (orig_id)),
+        per AS (SELECT way_id, seg, lpart, sub,
+                  arg_min(node_id, pos) AS f_node, arg_min(lat, pos) AS f_lat,
+                  arg_min(lon, pos) AS f_lon,
+                  arg_max(node_id, pos) AS l_node, arg_max(lat, pos) AS l_lat,
+                  arg_max(lon, pos) AS l_lon,
+                  min(pos) AS min_pos, max(pos) AS max_pos, count(*) AS n_pts
+                FROM p2 GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2),
+        inter AS (SELECT p.lat, p.lon, per.f_node, per.f_lat, per.f_lon,
+                    per.l_node, per.l_lat, per.l_lon
+                  FROM p2 p JOIN per USING (way_id, seg, lpart, sub)
+                  WHERE p.sig AND p.pos > per.min_pos AND p.pos < per.max_pos),
+        pulled AS (SELECT DISTINCT CASE WHEN {hav_from} < {hav_to}
+                     THEN f_node ELSE l_node END AS node_id FROM inter),
+        eps AS (SELECT f_node AS node_id FROM per
+                UNION SELECT l_node FROM per)
+        SELECT e.node_id,
+               (coalesce(n.sig0, FALSE) OR p.node_id IS NOT NULL) AS has_light
+        FROM eps e
+        LEFT JOIN nd n ON e.node_id = n.orig_id
+        LEFT JOIN pulled p ON e.node_id = p.node_id
     """
 
 
@@ -719,13 +793,15 @@ def _speed_case_sql() -> str:
     )
 
 
-def _way_edges_sql() -> str:
+def _edges_core_cte() -> str:
+    """Shared CTE chain segs -> loop split -> per-segment edges ->
+    directed rows -> (tail, head) dedup. Reused by the way_edges and
+    way_turn_table oracles."""
     hav = _HAVERSINE_SQL.format(
         lat1="lag(lat) OVER w", lon1="lag(lon) OVER w", lat2="lat", lon2="lon"
     )
     speed = _speed_case_sql()
     return f"""
-        WITH {_way_cte()},
         {_loop_split_cte()},
         pts AS (SELECT s.way_id, s.seg, s.lpart, s.pos, s.node_id, n.lat, n.lon
                 FROM sl s JOIN nodes n USING (node_id)),
@@ -753,12 +829,67 @@ def _way_edges_sql() -> str:
           SELECT last_node, first_node, dist_m, weight_min FROM e2 WHERE NOT is_ow),
         dedup AS (SELECT tail, head, round(min(weight_min), 6) AS weight_min,
                     round(min(dist_m), 4) AS dist_m
-                  FROM directed GROUP BY tail, head),
+                  FROM directed GROUP BY tail, head)
+    """
+
+
+def _way_edges_sql() -> str:
+    return f"""
+        WITH {_way_cte()},
+        {_edges_core_cte()},
         iso AS (SELECT DISTINCT node_id FROM ex
                 WHERE node_id NOT IN (SELECT tail FROM dedup))
         SELECT tail, head, weight_min, dist_m FROM dedup
         UNION ALL
         SELECT node_id, node_id, 0.0, 0.0 FROM iso
+    """
+
+
+def _way_turn_table_sql() -> str:
+    """J2 resolution (osm_parser2.go:506-625) + turn-table application
+    over the fixture's real segment edges."""
+    return f"""
+        WITH {_way_cte()},
+        {_edges_core_cte()},
+        wr AS (SELECT * FROM {way_restrictions_values_sql()}),
+        ow AS (SELECT way_id, nodes,
+                 (coalesce(oneway, '') IN ('yes', '1', 'true', '-1')
+                  OR coalesce(junction, '') = 'roundabout') AS is_ow
+               FROM aw),
+        ep AS (SELECT DISTINCT tail AS v FROM dedup
+               UNION SELECT DISTINCT head FROM dedup),
+        res0 AS (SELECT wr.via, wr.kind, f.nodes AS fnodes, f.is_ow,
+                        t.nodes AS tnodes
+                 FROM wr
+                 JOIN ep ON wr.via = ep.v
+                 JOIN ow f ON wr.from_way = f.way_id
+                 JOIN ow t ON wr.to_way = t.way_id
+                 WHERE wr.from_way <> wr.to_way),
+        res1 AS (SELECT *, coalesce(list_position(fnodes, via), 0) AS i FROM res0),
+        res2 AS (SELECT *,
+                   CASE WHEN i = 1 THEN fnodes[2] ELSE fnodes[i - 1] END AS from_node,
+                   coalesce(list_position(tnodes[1:len(tnodes) - 1], via), 0) AS j
+                 FROM res1 WHERE i > 0 AND NOT (i = 1 AND is_ow)),
+        res AS (SELECT via, from_node, tnodes[j + 1] AS to_node, kind
+                FROM res2
+                WHERE from_node <> via AND j > 0 AND tnodes[j + 1] <> via),
+        entries AS (SELECT DISTINCT head AS via, tail AS from_node FROM dedup),
+        exits AS (SELECT DISTINCT tail AS via, head AS to_node FROM dedup),
+        pairs AS (SELECT * FROM entries JOIN exits USING (via)),
+        no_r AS (SELECT DISTINCT via, from_node, to_node, TRUE AS is_no
+                 FROM res WHERE kind = 'no'),
+        only_r AS (SELECT via, from_node, min(to_node) AS only_min,
+                          max(to_node) AS only_max, TRUE AS has_only
+                   FROM res WHERE kind = 'only' GROUP BY via, from_node)
+        SELECT p.via::BIGINT AS via, p.from_node::BIGINT AS from_node,
+               p.to_node::BIGINT AS to_node,
+               (CASE WHEN n.is_no THEN 4
+                     WHEN o.has_only AND (o.only_min <> o.only_max
+                                          OR p.to_node <> o.only_min) THEN 4
+                     ELSE 5 END)::INT AS turn_type
+        FROM pairs p
+        LEFT JOIN no_r n USING (via, from_node, to_node)
+        LEFT JOIN only_r o USING (via, from_node)
     """
 
 
@@ -980,7 +1111,9 @@ def oracle_sql() -> dict[str, str]:
             FROM generate_series(0, 19) t(i) CROSS JOIN generate_series(0, 15) u(j)
         """,
         "way_edges": _way_edges_sql(),
+        "way_turn_table": _way_turn_table_sql(),
         "barrier_split": _barrier_split_sql(),
+        "traffic_lights": _traffic_light_sql(),
         # golden VALUES pinned from the deterministic way/node fixture
         # (sf-independent): RDP at 1.0 m + Google polyline encoding over
         # the loop-split segment geometries. Endpoint/corner behavior is
@@ -997,7 +1130,8 @@ def oracle_sql() -> dict[str, str]:
               (5, 0, 0, 2, '?ozD?o}@?o}@'),
               (6, 0, 0, 2, '?o}@n}@?'),
               (8, 0, 0, 2, 'o}@w|An}@g^'),
-              (8, 1, 0, 2, '?_|Bn}@g^')
+              (8, 1, 0, 2, '?_|Bn}@g^'),
+              (10, 0, 0, 2, '_pR??gE?gw@')
             ) AS t(way_id, seg, lpart, n_simplified, polyline)
         """,
         "turn_table": f"""

@@ -220,6 +220,83 @@ def segment_edges(ways: DataFrame, nodes: DataFrame) -> DataFrame:
     )
 
 
+def traffic_light_nodes(segs: DataFrame, nodes: DataFrame) -> DataFrame:
+    """E5: traffic-light pull-to-endpoint (addEdge,
+    osm_parser2.go:906-920). An interior node of an edge segment that
+    carries a traffic-light tag transfers it to the CLOSER endpoint
+    (haversine; ties go to the last endpoint, matching the reference's
+    strict ``<``). Endpoint nodes keep their own tags. Barrier clones
+    (node_id >= the 1e9 offset) share the original's coordinates but
+    never its tag (copyNode copies coords only).
+
+    One relational pass: the reference mutates a global tag map while
+    iterating ways, so a tag pulled onto an endpoint by an early way can
+    be re-pulled by a later way that sees that endpoint as interior —
+    a rare cascade this one-pass form intentionally flattens (each
+    original tag moves at most once).
+
+    Input: barrier-split segments (way_id, seg, lpart, sub, pos,
+    node_id). Returns (node_id, has_light) for every endpoint node."""
+    keys = [c for c in ("way_id", "seg", "lpart", "sub") if c in segs.columns]
+    orig = F.when(
+        F.col("node_id") >= F.lit(10**9), F.col("node_id") - F.lit(10**9)
+    ).otherwise(F.col("node_id"))
+    nd = nodes.select(
+        F.col("node_id").alias("orig_id"),
+        "lat",
+        "lon",
+        F.coalesce(F.col("signal"), F.lit(False)).alias("sig0"),
+    )
+    pts = (
+        segs.withColumn("orig_id", orig)
+        .join(nd, "orig_id")
+        .withColumn(
+            "sig", F.col("sig0") & (F.col("node_id") < F.lit(10**9))
+        )
+    )
+    per = pts.groupBy(*keys).agg(
+        F.min_by("node_id", "pos").alias("f_node"),
+        F.min_by("lat", "pos").alias("f_lat"),
+        F.min_by("lon", "pos").alias("f_lon"),
+        F.max_by("node_id", "pos").alias("l_node"),
+        F.max_by("lat", "pos").alias("l_lat"),
+        F.max_by("lon", "pos").alias("l_lon"),
+        F.min("pos").alias("min_pos"),
+        F.max("pos").alias("max_pos"),
+        F.count("*").alias("n_pts"),
+    ).filter(F.col("n_pts") >= 2)
+    interior = (
+        pts.join(per, keys)
+        .filter(
+            F.col("sig")
+            & (F.col("pos") > F.col("min_pos"))
+            & (F.col("pos") < F.col("max_pos"))
+        )
+    )
+    d_from = haversine_km(F.col("lat"), F.col("lon"), F.col("f_lat"), F.col("f_lon"))
+    d_to = haversine_km(F.col("lat"), F.col("lon"), F.col("l_lat"), F.col("l_lon"))
+    pulled = interior.select(
+        F.when(d_from < d_to, F.col("f_node")).otherwise(F.col("l_node")).alias("ep")
+    ).distinct()
+    endpoints = (
+        per.select(F.col("f_node").alias("node_id"))
+        .union(per.select(F.col("l_node").alias("node_id")))
+        .distinct()
+    )
+    own = nd.select(F.col("orig_id").alias("node_id"), "sig0")
+    return (
+        endpoints.join(own, "node_id", "left")
+        .join(pulled.withColumnRenamed("ep", "node_id").withColumn("pl", F.lit(True)), "node_id", "left")
+        .select(
+            "node_id",
+            (
+                F.coalesce(F.col("sig0"), F.lit(False))
+                | F.coalesce(F.col("pl"), F.lit(False))
+            ).alias("has_light"),
+        )
+    )
+
+
 def add_dummy_self_edges(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     """E6: any referenced vertex with out-degree 0 gets a zero-weight
     self-loop (CRP query invariant, osm_parser2.go:418-433)."""

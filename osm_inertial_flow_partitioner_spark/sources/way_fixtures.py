@@ -19,6 +19,7 @@ WAYS = [
     (6, "tertiary", None, None, "not_a_number", [2, 13]),
     (7, "unclassified", None, None, None, [12]),        # too few nodes
     (8, "trunk", None, None, None, [14, 3, 15]),        # makes node 3 a junction
+    (10, "residential", None, None, None, [16, 17, 18]),  # interior signal node 17
 ]
 
 # (node_id, lat, lon, barrier, access, signal)
@@ -38,6 +39,9 @@ NODES = [
     (13, -0.01, 0.01, "bollard", "yes", False),  # barrier but access != no
     (14, 0.01, 0.015, None, None, False),
     (15, -0.01, 0.025, None, None, False),
+    (16, 0.1, 0.0, None, None, False),
+    (17, 0.1, 0.001, None, None, True),   # interior traffic light, close to 16
+    (18, 0.1, 0.01, None, None, False),
 ]
 
 WAYS_SCHEMA = (
@@ -99,6 +103,33 @@ RESTRICTIONS = [
 
 TURN_EDGES_SCHEMA = "tail long, head long"
 RESTRICTIONS_SCHEMA = "via long, from_node long, to_node long, kind string"
+
+# way-keyed restrictions (from_way, via, to_way, kind) — the J2
+# resolution input (real OSM restriction relations are way-keyed).
+# Each row exercises one branch of osm_parser2.go:506-625:
+WAY_RESTRICTIONS = [
+    (1, 3, 2, "no"),    # resolves (3, 2, 5); exit 3->5 absent -> no-op
+    (1, 3, 8, "no"),    # resolves (3, 2, 15): blocked
+    (8, 3, 1, "only"),  # resolves (3, 14, 4): every other exit blocked
+    (5, 4, 1, "no"),    # via at position 0 of one-way way 5 -> dropped
+    (2, 6, 3, "no"),    # to_way rejected (footway) -> dropped
+    (6, 2, 1, "only"),  # via at pos 0 of two-way: pred = NEXT node -> (2, 13, 3)
+    (4, 9, 1, "no"),    # via 9 not a graph vertex, absent from to_way -> dropped
+    (1, 2, 6, "no"),    # resolves (2, 1, 13): blocked
+]
+
+WAY_RESTRICTIONS_SCHEMA = "from_way long, via long, to_way long, kind string"
+
+
+def way_restrictions_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(WAY_RESTRICTIONS, WAY_RESTRICTIONS_SCHEMA)
+
+
+def way_restrictions_values_sql() -> str:
+    rows = ", ".join(
+        f"({fw}, {v}, {tw}, '{k}')" for fw, v, tw, k in WAY_RESTRICTIONS
+    )
+    return f"(VALUES {rows}) AS wr(from_way, via, to_way, kind)"
 
 
 def turn_edges_df(spark: SparkSession) -> DataFrame:
