@@ -24,7 +24,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..config import DIAGONALS, SLOPES, SOURCE_SINK_RATE
-from .maxflow import FlowGraph, dinic_min_cut
+from .maxflow import FlowGraph, min_cut
 
 
 def direction_jobs() -> list[tuple[float, float]]:
@@ -74,7 +74,11 @@ def best_inertial_cut(
             flags = np.zeros(n, dtype=bool)
             part_two, cut = n, 0
         else:
-            flags, part_two, cut, _ = dinic_min_cut(graph, sources, sinks)
+            # production kernel: source/sink-contracted vectorized
+            # push-relabel — bit-identical to the reference-shaped Dinic
+            # (flags are the unique minimal min cut for ANY max flow);
+            # TILER_KERNEL=dinic switches back for A/B
+            flags, part_two, cut, _ = min_cut(graph, sources, sinks)
         balance = abs(n // 2 - part_two)
         key = (cut, balance, job_idx)
         if best is None or key < best[0]:

@@ -53,7 +53,7 @@ from pyspark.sql import functions as F
 from ..config import PartitionConfig
 from ..kernel.bisection import bisect_once, recursive_bisection
 from ..kernel.inertial import direction_jobs
-from ..kernel.maxflow import FlowGraph, dinic_min_cut
+from ..kernel.maxflow import FlowGraph, min_cut
 
 KERNEL_OUT_SCHEMA = (
     "root long, parent_path long, path long, vertex_id long, "
@@ -69,10 +69,11 @@ DIR_OUT_SCHEMA = (
 CC_OUT_SCHEMA = "root long, path long, vertex_id long, comp long"
 
 #: active cells smaller than this finish their whole recursion in one
-#: kernel call (a few MB of int64/float64 arrays per cell). 8k keeps
-#: individual finish-tasks to seconds (straggler control) while still
+#: kernel call (a few MB of int64/float64 arrays per cell). 4k keeps
+#: individual finish-tasks to ~1-3s (straggler control — a full local
+#: recursion runs 10 direction jobs per sub-bisection) while still
 #: collapsing the deep tail of the bisection tree into one pass.
-DEFAULT_LOCAL_RECURSION_THRESHOLD = 1 << 13
+DEFAULT_LOCAL_RECURSION_THRESHOLD = 1 << 12
 
 
 def _sorted_cell_arrays(vdf: pd.DataFrame, edf: pd.DataFrame):
@@ -161,34 +162,36 @@ def _make_bisect_kernel(rate: float):
 
 
 def _cc_kernel(key, vdf: pd.DataFrame, edf: pd.DataFrame) -> pd.DataFrame:
-    """Connected components of one cell (union-find, executor-local);
+    """Connected components of one cell (vectorized label propagation
+    with pointer jumping, O(E log V) numpy — the Python union-find loop
+    was the serial bottleneck of mode 1's prep on big cells);
     component id = min original vertex id in the component
     (deterministic). Enables the exact (cell x direction x component)
     decomposition: max-flow value and residual reachability decompose by
     component because no augmenting path crosses components."""
     root, path = int(key[0]), int(key[1])
     ids = np.sort(vdf["vertex_id"].to_numpy(np.int64))
-    pos = {int(v): i for i, v in enumerate(ids)}
-    parent = list(range(len(ids)))
-
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
+    n = len(ids)
+    label = np.arange(n, dtype=np.int64)
     if len(edf):
-        for t, h in zip(edf["tail"].to_numpy(np.int64), edf["head"].to_numpy(np.int64)):
-            a, b = find(pos[int(t)]), find(pos[int(h)])
-            if a != b:
-                parent[b] = a
-    roots = np.array([find(i) for i in range(len(ids))])
-    # comp label = min vertex id in component == ids[min index in comp]
-    comp_min = {}
-    for i, r in enumerate(roots):
-        if r not in comp_min:
-            comp_min[r] = ids[i]  # ids ascending -> first hit is the min
-    comp = np.array([comp_min[r] for r in roots], dtype=np.int64)
+        lt = np.searchsorted(ids, edf["tail"].to_numpy(np.int64))
+        lh = np.searchsorted(ids, edf["head"].to_numpy(np.int64))
+        while True:
+            # hook: each endpoint adopts the smaller label
+            lu, lv = label[lt], label[lh]
+            np.minimum.at(label, lt, lv)
+            np.minimum.at(label, lh, lu)
+            # pointer-jump to the fixpoint of label[label]
+            while True:
+                nxt = label[label]
+                if np.array_equal(nxt, label):
+                    break
+                label = nxt
+            if np.array_equal(label[lt], label[lh]):
+                break
+    # label indices are positions of ascending ids -> min position IS
+    # the min original vertex id of the component
+    comp = ids[label]
     return pd.DataFrame(
         {
             "root": np.int64(root),
@@ -237,7 +240,7 @@ def _make_direction_kernel():
             part_two, cut = n, 0
         else:
             graph = FlowGraph.from_directed_edges(n, lt, lh)
-            flags, part_two, cut, _ = dinic_min_cut(graph, sources, sinks)
+            flags, part_two, cut, _ = min_cut(graph, sources, sinks)
         return pd.DataFrame(
             {
                 "root": np.int64(root),
@@ -411,6 +414,10 @@ def _run_level(
                     .persist()
                 )
                 to_unpersist.append(cc)
+                if os.environ.get("TILER_DEBUG"):
+                    _t = time.time()
+                    cc.count()
+                    print(f"[tiler]   cc pass took {time.time() - _t:.1f}s", flush=True)
 
                 def _jobs():  # fresh frame each use (self-join ambiguity)
                     return spark.createDataFrame(
@@ -478,6 +485,10 @@ def _run_level(
                     .persist()
                 )
                 to_unpersist.append(out)
+                if os.environ.get("TILER_DEBUG"):
+                    _t = time.time()
+                    out.count()
+                    print(f"[tiler]   direction kernel took {time.time() - _t:.1f}s", flush=True)
                 m = (
                     out.groupBy("root", "path", "comp", "job")
                     .agg(
