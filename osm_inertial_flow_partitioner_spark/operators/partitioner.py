@@ -35,9 +35,15 @@ relabeled per level by the frozen SURVEY.md §7 rule: per parent,
 non-empty cells by min original vertex id, then empty cells (degenerate
 n<=3 splits — assignFinalPartition on a 0-vertex side,
 recursiveBisection.go:127-136 — have no vertex rows; the kernel reports
-them via n_empty and the driver carries their ids). Per-round snapshots
-+ lineage/metrics via plans/checkpoint.py; the only driver-side collects
-are O(#cells) metadata, never vertices.
+them via n_empty, carried as a DataFrame). Per-round snapshots +
+lineage/metrics via plans/checkpoint.py.
+
+Driver memory is independent of total cell count: per-cell sizes,
+empty-cell bookkeeping, lineage metrics and the per-level relabel all
+live in DataFrames (per-root rank window + two-phase prefix sum over
+roots); the driver touches O(1) scalars per round, plus O(active x 10)
+argmin rows in direction-parallel mode, where active < parallelism by
+construction.
 """
 
 from __future__ import annotations
@@ -67,6 +73,14 @@ DIR_OUT_SCHEMA = (
 )
 
 CC_OUT_SCHEMA = "root long, path long, vertex_id long, comp long"
+
+ASSIGN_SCHEMA = "root long, path long, vertex_id long, lat double, lon double"
+SIZES_SCHEMA = "root long, path long, n long"
+EMPTIES_SCHEMA = "root long, n_empty long"
+METRICS_SCHEMA = (
+    "level int, round int, root long, parent_path long, n int, "
+    "cut_edges int, part_two int, best_job int, n_empty int, mode string"
+)
 
 #: active cells smaller than this finish their whole recursion in one
 #: kernel call (a few MB of int64/float64 arrays per cell). 4k keeps
@@ -280,6 +294,51 @@ def _label_edges(edges: DataFrame, active: DataFrame) -> DataFrame:
     )
 
 
+def _exclusive_cumsum_by_key(
+    df: DataFrame, key: str, value: str, out_col: str
+) -> tuple[DataFrame, int]:
+    """Distributed exclusive prefix sum of ``value`` over rows ordered
+    by ``key`` — two-phase (range partition, per-partition offsets,
+    local window), never a single-partition global window. The driver
+    sees only O(#partitions) offsets. Returns (df + out_col, total)."""
+    spark = df.sparkSession
+    nparts = max(spark.sparkContext.defaultParallelism, 2)
+    part = (
+        df.repartitionByRange(nparts, F.asc(key))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin range boundaries across passes
+    )
+    sums = {
+        r["pid"]: r["s"]
+        for r in part.groupBy("pid").agg(F.sum(value).alias("s")).collect()
+    }
+    acc, offs = 0, {}
+    for pid in sorted(sums):
+        offs[pid] = acc
+        acc += int(sums[pid])
+    if not offs:
+        return part.withColumn(out_col, F.lit(0).cast("long")).drop("pid"), 0
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offs.items()], "pid int, pidoff long"
+        )
+    )
+    w = (
+        Window.partitionBy("pid")
+        .orderBy(F.asc(key))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        part.join(off_df, "pid")
+        .withColumn(
+            out_col,
+            F.col("pidoff") + F.coalesce(F.sum(value).over(w), F.lit(0)),
+        )
+        .drop("pid", "pidoff")
+    )
+    return out, acc
+
+
 def _run_level(
     assign: DataFrame,
     edges: DataFrame,
@@ -287,58 +346,79 @@ def _run_level(
     rate: float,
     local_threshold: int,
     level: int,
-    metrics_rows: list,
-    init_sizes: dict[tuple[int, int], int],
+    metrics_frames: list,
+    sizes_df: DataFrame,
     checkpoint=None,
-) -> tuple[DataFrame, dict[int, int]]:
+) -> tuple[DataFrame, DataFrame]:
     """Bisection rounds for one level. Round 0 bisects every cell
     (Partition() runs per parent unconditionally,
     multilevel_partitioner.go:59-68); later rounds only cells with
     count >= max_cell_size.
 
-    ``init_sizes`` seeds a driver-side size map (cell -> vertex count);
-    each round's kernel metrics update it, so no per-round counting job
-    is needed — the only Spark jobs per round are the kernel pass and
-    the snapshot materialization."""
+    ``sizes_df`` (root, path, n) carries the per-cell sizes as a
+    DataFrame — between rounds it holds only still-oversized children,
+    so neither the driver nor the frame grows with TOTAL cell count.
+    The driver touches O(1) scalars per round (active/big counts, max
+    path) plus, in direction-parallel mode only, O(active x 10) argmin
+    rows where active < parallelism by construction. Lineage metrics
+    and empty-cell bookkeeping are DataFrames too.
+
+    Returns (assignment, empties_df (root, n_empty))."""
     spark = assign.sparkSession
     parallelism = spark.sparkContext.defaultParallelism
-    empties: dict[int, int] = {}
-    sizes: dict[tuple[int, int], int] = dict(init_sizes)
+    schemas = {
+        "assign": ASSIGN_SCHEMA,
+        "sizes": SIZES_SCHEMA,
+        "empties": EMPTIES_SCHEMA,
+        "metrics": METRICS_SCHEMA,
+    }
+    empties_df = spark.createDataFrame([], EMPTIES_SCHEMA)
+    level_metric_frames: list[DataFrame] = []
+    level_unpersist: list[DataFrame] = []
     rnd = 0
     while True:
         if checkpoint is not None and checkpoint.has_round(level, rnd):
             # resume: replay this round from its durable snapshot
-            assign, state = checkpoint.load_round(level, rnd)
-            sizes = {(int(r), int(p)): int(s) for r, p, s in state["sizes"]}
-            empties = {int(k): int(v) for k, v in state["empties"].items()}
-            metrics_rows.extend(state["metrics_rows"])
+            assign, sizes_df, empties_df, m = checkpoint.load_round_dfs(
+                level, rnd, schemas
+            )
+            metrics_frames.append(m)
             rnd += 1
             continue
-        if rnd == 0:
-            active = list(sizes.items())  # every parent cell, any size
-        else:
-            active = [(k, s) for k, s in sizes.items() if s >= max_cell_size]
-        if not active:
+        active = (
+            sizes_df  # round 0: every parent cell, any size
+            if rnd == 0
+            else sizes_df.filter(F.col("n") >= max_cell_size)
+        )
+        agg = active.groupBy().agg(
+            F.count("*").alias("n_active"),
+            F.sum((F.col("n") >= local_threshold).cast("int")).alias("n_big"),
+            F.max("path").alias("max_path"),
+        ).first()
+        n_active = int(agg["n_active"] or 0)
+        if n_active == 0:
             break
         # every bisection round appends >= 1 bit to the heap path
-        assert max(p for (_r, p), _s in active) < 2**61, (
+        assert int(agg["max_path"]) < 2**61, (
             "heap-numbered cell path near int64 overflow"
         )
-        n_metrics_before = len(metrics_rows)
+        n_big = int(agg["n_big"] or 0)
+        n_small = n_active - n_big
         _t_round = time.time()
-        small_keys = [k for k, s in active if s < local_threshold]
-        big_keys = [k for k, s in active if s >= local_threshold]
-        all_keys = small_keys + big_keys
-        active_key_set = set(all_keys)
-        sizes = {k: s for k, s in sizes.items() if k not in active_key_set}
+        small_df = active.filter(F.col("n") < local_threshold)
+        big_df = active.filter(F.col("n") >= local_threshold)
 
-        ak = F.broadcast(spark.createDataFrame(all_keys, "root long, path long"))
-        inactive = assign.join(ak, ["root", "path"], "left_anti")
+        inactive = assign.join(
+            F.broadcast(active.select("root", "path")), ["root", "path"], "left_anti"
+        )
         frames = [inactive.select("root", "path", "vertex_id", "lat", "lon")]
+        sizes_frames: list[DataFrame] = []  # still-oversized children
+        empties_frames: list[DataFrame] = []
+        metric_parts: list[DataFrame] = []
         to_unpersist = []
 
-        def run_cell_mode(keys, kernel, is_bisect):
-            kdf = F.broadcast(spark.createDataFrame(keys, "root long, path long"))
+        def run_cell_mode(keys_df, kernel, is_bisect):
+            kdf = F.broadcast(keys_df.select("root", "path"))
             act = assign.join(kdf, ["root", "path"], "inner")
             e_act = _label_edges(edges, act)
             out = (
@@ -349,59 +429,74 @@ def _run_level(
             )
             to_unpersist.append(out)
             frames.append(out.select("root", "path", "vertex_id", "lat", "lon"))
-            m = (
-                out.groupBy("root", "parent_path")
-                .agg(
-                    F.first("n").alias("n"),
-                    F.first("cut_edges").alias("cut_edges"),
-                    F.first("part_two").alias("part_two"),
-                    F.first("best_job").alias("best_job"),
-                    F.first("n_empty").alias("n_empty"),
-                )
-                .collect()
+            per_parent = out.groupBy("root", "parent_path").agg(
+                F.first("n").alias("n"),
+                F.first("cut_edges").alias("cut_edges"),
+                F.first("part_two").alias("part_two"),
+                F.first("best_job").alias("best_job"),
+                F.first("n_empty").alias("n_empty"),
             )
-            for r in m:
-                metrics_rows.append(
-                    {
-                        "level": level,
-                        "round": rnd,
-                        "root": r["root"],
-                        "parent_path": r["parent_path"],
-                        "n": r["n"],
-                        "cut_edges": r["cut_edges"],
-                        "part_two": r["part_two"],
-                        "best_job": r["best_job"],
-                        "n_empty": r["n_empty"],
-                        "mode": "cell",
-                    }
+            metric_parts.append(
+                per_parent.select(
+                    F.lit(level).cast("int").alias("level"),
+                    F.lit(rnd).cast("int").alias("round"),
+                    "root",
+                    "parent_path",
+                    "n",
+                    "cut_edges",
+                    "part_two",
+                    "best_job",
+                    "n_empty",
+                    F.lit("cell").alias("mode"),
                 )
-                if r["n_empty"]:
-                    empties[r["root"]] = empties.get(r["root"], 0) + int(r["n_empty"])
-                if is_bisect:
-                    # children sizes known from the cut metrics — feeds the
-                    # next round's active set without a counting job
-                    p = int(r["parent_path"])
-                    one = int(r["n"]) - int(r["part_two"])
-                    if one > 0:
-                        sizes[(int(r["root"]), p * 2)] = one
-                    if int(r["part_two"]) > 0:
-                        sizes[(int(r["root"]), p * 2 + 1)] = int(r["part_two"])
+            )
+            empties_frames.append(
+                per_parent.filter(F.col("n_empty") > 0).select(
+                    "root", F.col("n_empty").cast("long").alias("n_empty")
+                )
+            )
+            if is_bisect:
+                # children sizes derive from the cut metrics — no
+                # counting job, and only oversized children are kept
+                ch = per_parent.select(
+                    "root",
+                    F.explode(
+                        F.array(
+                            F.struct(
+                                (F.col("parent_path") * 2).alias("path"),
+                                (F.col("n") - F.col("part_two"))
+                                .cast("long")
+                                .alias("n"),
+                            ),
+                            F.struct(
+                                (F.col("parent_path") * 2 + 1).alias("path"),
+                                F.col("part_two").cast("long").alias("n"),
+                            ),
+                        )
+                    ).alias("c"),
+                ).select("root", F.col("c.path").alias("path"), F.col("c.n").alias("n"))
+                sizes_frames.append(ch.filter(F.col("n") >= max_cell_size))
 
-        if small_keys:
-            run_cell_mode(small_keys, _make_finish_kernel(max_cell_size, rate), False)
+        if n_small:
+            run_cell_mode(small_df, _make_finish_kernel(max_cell_size, rate), False)
 
-        if big_keys:
+        if n_big:
             # adaptive physical strategy (AQE-style): when the active big
             # cells cannot fill the cluster on their own, fan each one out
             # into (direction x component) tasks; once there are enough
             # cells to saturate, the plain per-cell kernel is cheaper
             # (no 10x duplication / CC / role-window overhead). Results
             # are identical either way (equivalence suite covers both).
-            if len(big_keys) < parallelism:
+            if n_big < parallelism:
                 # mode 1: (cell x direction x component) groups — the 10
                 # inertial jobs fan out as tasks AND each job decomposes
-                # exactly by connected component (see _make_direction_kernel)
-                big_sizes = {k: s for k, s in active if k in set(big_keys)}
+                # exactly by connected component (see _make_direction_kernel).
+                # Collecting the big cells here is bounded by
+                # `parallelism` BY CONSTRUCTION (mode 2 takes over past
+                # it), so driver state stays O(cluster), never O(#cells).
+                big_rows = big_df.collect()
+                big_sizes = {(int(r["root"]), int(r["path"])): int(r["n"]) for r in big_rows}
+                big_keys = list(big_sizes)
                 kdf = F.broadcast(
                     spark.createDataFrame(big_keys, "root long, path long")
                 )
@@ -525,103 +620,145 @@ def _run_level(
                         "lon",
                     )
                 )
+                mrows, srows, erows = [], [], []
                 for (root, path), (key, r) in best.items():
                     n_cell = big_sizes[(root, path)]
                     p2 = int(r["part_two"])
-                    metrics_rows.append(
-                        {
-                            "level": level,
-                            "round": rnd,
-                            "root": root,
-                            "parent_path": path,
-                            "n": n_cell,
-                            "cut_edges": int(r["cut_edges"]),
-                            "part_two": p2,
-                            "best_job": int(r["job"]),
-                            "n_empty": 1 if p2 == n_cell else 0,
-                            "mode": "direction",
-                        }
+                    mrows.append(
+                        (
+                            level, rnd, root, path, n_cell, int(r["cut_edges"]),
+                            p2, int(r["job"]), 1 if p2 == n_cell else 0,
+                            "direction",
+                        )
                     )
                     if p2 == n_cell:
-                        empties[root] = empties.get(root, 0) + 1
-                    if n_cell - p2 > 0:
-                        sizes[(root, path * 2)] = n_cell - p2
-                    if p2 > 0:
-                        sizes[(root, path * 2 + 1)] = p2
+                        erows.append((root, 1))
+                    if n_cell - p2 >= max_cell_size:
+                        srows.append((root, path * 2, n_cell - p2))
+                    if p2 >= max_cell_size:
+                        srows.append((root, path * 2 + 1, p2))
+                metric_parts.append(spark.createDataFrame(mrows, METRICS_SCHEMA))
+                if srows:
+                    sizes_frames.append(spark.createDataFrame(srows, SIZES_SCHEMA))
+                if erows:
+                    empties_frames.append(spark.createDataFrame(erows, EMPTIES_SCHEMA))
             else:
-                run_cell_mode(big_keys, _make_bisect_kernel(rate), True)
+                run_cell_mode(big_df, _make_bisect_kernel(rate), True)
 
         new_assign = frames[0]
         for fr in frames[1:]:
             new_assign = new_assign.unionByName(fr)
+        new_sizes = (
+            sizes_frames[0]
+            if sizes_frames
+            else spark.createDataFrame([], SIZES_SCHEMA)
+        )
+        for fr in sizes_frames[1:]:
+            new_sizes = new_sizes.unionByName(fr)
+        new_empties = empties_df
+        for fr in empties_frames:
+            new_empties = new_empties.unionByName(fr)
+        round_metrics = metric_parts[0]
+        for fr in metric_parts[1:]:
+            round_metrics = round_metrics.unionByName(fr)
         if checkpoint is not None:
-            state = {
-                "sizes": [[r, p, s] for (r, p), s in sizes.items()],
-                "empties": empties,
-                "metrics_rows": metrics_rows[n_metrics_before:],
-            }
-            assign = checkpoint.snapshot_round(new_assign, level, rnd, state)
+            assign, sizes_df, empties_df, round_metrics = (
+                checkpoint.snapshot_round_dfs(
+                    level, rnd, new_assign, new_sizes, new_empties, round_metrics
+                )
+            )
+            metrics_frames.append(round_metrics)
+            for df in to_unpersist:
+                df.unpersist()
         else:
+            # ONE eager materialization per round (the assignment):
+            # computing it caches the persisted kernel outputs, so the
+            # tiny sizes/empties/metrics frames stay LAZY against the
+            # cache and are folded into one job at level end — no
+            # per-round fixed-latency job tax. Outputs stay cached
+            # until level end (evictable; recompute is deterministic).
             assign = new_assign.localCheckpoint(eager=True)
+            sizes_df = new_sizes
+            empties_df = new_empties
+            level_metric_frames.append(round_metrics)
+            level_unpersist.extend(to_unpersist)
         if os.environ.get("TILER_DEBUG"):
             print(
-                f"[tiler] level={level} round={rnd} small={len(small_keys)} "
-                f"big={len(big_keys)} took={time.time() - _t_round:.1f}s",
+                f"[tiler] level={level} round={rnd} small={n_small} "
+                f"big={n_big} took={time.time() - _t_round:.1f}s",
                 flush=True,
             )
-        for df in to_unpersist:
-            df.unpersist()
         rnd += 1
-    return assign, empties
+    if level_metric_frames:
+        rm = level_metric_frames[0]
+        for fr in level_metric_frames[1:]:
+            rm = rm.unionByName(fr)
+        metrics_frames.append(rm.localCheckpoint(eager=True))
+    empties_df = empties_df.localCheckpoint(eager=True)
+    for df in level_unpersist:
+        df.unpersist()
+    return assign, empties_df
 
 
 def _relabel_level(
     assign: DataFrame,
-    empties: dict[int, int],
-    empty_roots: list[int],
-    n_roots: int,
-) -> tuple[DataFrame, int, list[int], dict[int, int]]:
-    """Frozen numbering: per parent root (in root-id order): non-empty
-    cells by min original vertex id, then that root's empty cells; empty
-    roots contribute 2 empty child cells in place.
+    empties_df: DataFrame,
+    empty_roots_df: DataFrame,
+) -> tuple[DataFrame, int, DataFrame, DataFrame]:
+    """Frozen numbering, fully DISTRIBUTED (the driver sees one scalar):
+    per parent root (in root-id order): non-empty cells by min original
+    vertex id, then that root's empty cells; empty roots contribute 2
+    empty child cells in place.
 
-    Also returns the per-final-cell sizes (seeds the next level's
-    driver-side size map)."""
-    meta = (
-        assign.groupBy("root", "path")
-        .agg(F.min("vertex_id").alias("min_vid"), F.count("*").alias("n"))
-        .collect()
+    Plan shape: one groupBy for per-cell meta, a per-root rank window
+    (parallel across roots), and a two-phase exclusive prefix sum over
+    roots for the cross-root id offsets — no single-partition window,
+    no O(#cells) driver collect.
+
+    Returns (labeled assignment, num_cells, empty-cell ids as a
+    DataFrame(root) for the next level, per-cell sizes DataFrame
+    (root=cell_id, path=1, n) seeding the next level)."""
+    meta = assign.groupBy("root", "path").agg(
+        F.min("vertex_id").alias("min_vid"), F.count("*").alias("n")
     )
-    by_root: dict[int, list] = {}
-    for r in meta:
-        by_root.setdefault(int(r["root"]), []).append(
-            (int(r["min_vid"]), int(r["path"]), int(r["n"]))
+    ne_counts = meta.groupBy("root").agg(F.count("*").alias("n_ne"))
+    em = empties_df.groupBy("root").agg(F.sum("n_empty").alias("n_em"))
+    roots = (
+        ne_counts.join(em, "root", "full")
+        .na.fill({"n_ne": 0, "n_em": 0})
+        .select("root", "n_ne", "n_em")
+        .unionByName(
+            # Partition(empty cell) -> 2 empty children, in place
+            empty_roots_df.select(
+                "root",
+                F.lit(0).cast("long").alias("n_ne"),
+                F.lit(2).cast("long").alias("n_em"),
+            )
         )
-    mapping: list[tuple[int, int, int]] = []
-    empty_ids: list[int] = []
-    cell_sizes_out: dict[int, int] = {}
-    empty_root_set = set(empty_roots)
-    cid = 0
-    for root in range(n_roots):
-        if root in empty_root_set:
-            empty_ids.extend([cid, cid + 1])  # Partition(empty) -> 2 empty cells
-            cid += 2
-            continue
-        for _mv, path, sz in sorted(by_root.get(root, [])):
-            mapping.append((root, path, cid))
-            cell_sizes_out[cid] = sz
-            cid += 1
-        for _ in range(empties.get(root, 0)):
-            empty_ids.append(cid)
-            cid += 1
-    spark = assign.sparkSession
-    map_df = F.broadcast(
-        spark.createDataFrame(mapping, "root long, path long, cell_id long")
+        .withColumn("total", F.col("n_ne") + F.col("n_em"))
     )
-    out = assign.join(map_df, ["root", "path"], "inner").select(
+    roots, num_cells = _exclusive_cumsum_by_key(roots, "root", "total", "offset")
+    wr = Window.partitionBy("root").orderBy(F.asc("min_vid"))
+    cells = meta.join(roots.select("root", "offset"), "root").withColumn(
+        "cell_id", F.col("offset") + F.row_number().over(wr) - 1
+    )
+    labeled = assign.join(cells.select("root", "path", "cell_id"), ["root", "path"]).select(
         "vertex_id", "lat", "lon", "cell_id"
     )
-    return out, cid, empty_ids, cell_sizes_out
+    empty_cells = roots.filter(F.col("n_em") > 0).select(
+        F.explode(
+            F.sequence(
+                F.col("offset") + F.col("n_ne"),
+                F.col("offset") + F.col("n_ne") + F.col("n_em") - 1,
+            )
+        ).alias("root")
+    )
+    level_sizes = cells.select(
+        F.col("cell_id").alias("root"),
+        F.lit(1).cast("long").alias("path"),
+        F.col("n").cast("long").alias("n"),
+    )
+    return labeled, int(num_cells), empty_cells, level_sizes
 
 
 def multilevel_partition(
@@ -656,7 +793,7 @@ def multilevel_partition(
             cell_sizes, rate, local_recursion_threshold
         )
     n = vertices.count()
-    metrics_rows: list = []
+    metrics_frames: list[DataFrame] = []
 
     assign = vertices.select(
         "vertex_id",
@@ -672,18 +809,22 @@ def multilevel_partition(
 
     top_u = cell_sizes[L - 1]
     if n > top_u:
-        a, empties = _run_level(
+        sizes0 = spark.createDataFrame([(0, 1, n)], SIZES_SCHEMA)
+        a, empties_df = _run_level(
             assign, edges, top_u, rate, local_recursion_threshold, L - 1,
-            metrics_rows, {(0, 1): n}, checkpoint,
+            metrics_frames, sizes0, checkpoint,
         )
-        labeled, c, empty_ids, level_sizes = _relabel_level(a, empties, [], 1)
+        labeled, c, empty_cells, level_sizes = _relabel_level(
+            a, empties_df, spark.createDataFrame([], "root long")
+        )
     else:
         labeled = assign.select(
             "vertex_id", "lat", "lon", F.lit(0).cast("long").alias("cell_id")
         )
-        c, empty_ids, level_sizes = 1, [], {0: n}
+        c = 1
+        empty_cells = spark.createDataFrame([], "root long")
+        level_sizes = spark.createDataFrame([(0, 1, n)], SIZES_SCHEMA)
     num_cells[L - 1] = c
-    empty_roots = empty_ids
     level_frames.append(
         labeled.select("vertex_id", F.lit(L - 1).alias("level"), "cell_id")
     )
@@ -698,16 +839,14 @@ def multilevel_partition(
             F.col("cell_id").alias("root"),
             F.lit(1).cast("long").alias("path"),
         )
-        init_sizes = {(cell, 1): sz for cell, sz in level_sizes.items()}
-        a, empties = _run_level(
+        a, empties_df = _run_level(
             a0, edges, u, rate, local_recursion_threshold, level,
-            metrics_rows, init_sizes, checkpoint,
+            metrics_frames, level_sizes, checkpoint,
         )
-        labeled, c, empty_ids, level_sizes = _relabel_level(
-            a, empties, empty_roots, num_cells[level + 1]
+        labeled, c, empty_cells, level_sizes = _relabel_level(
+            a, empties_df, empty_cells
         )
         num_cells[level] = c
-        empty_roots = empty_ids
         level_frames.append(
             labeled.select("vertex_id", F.lit(level).alias("level"), "cell_id")
         )
@@ -716,23 +855,13 @@ def multilevel_partition(
     result = level_frames[0]
     for fr in level_frames[1:]:
         result = result.unionByName(fr)
-    metrics_schema = (
-        "level int, round int, root long, parent_path long, n int, "
-        "cut_edges int, part_two int, best_job int, n_empty int, mode string"
+    metrics = (
+        metrics_frames[0]
+        if metrics_frames
+        else spark.createDataFrame([], METRICS_SCHEMA)
     )
-    metrics = spark.createDataFrame(
-        [
-            (
-                r["level"], r["round"], r["root"], r["parent_path"], r["n"],
-                r["cut_edges"], r["part_two"], r["best_job"], r["n_empty"],
-                r["mode"],
-            )
-            for r in metrics_rows
-        ]
-        if metrics_rows
-        else [],
-        metrics_schema,
-    )
+    for fr in metrics_frames[1:]:
+        metrics = metrics.unionByName(fr)
     if checkpoint is not None:
         checkpoint.finalize(result, num_cells, metrics)
     return result, num_cells, metrics

@@ -75,6 +75,46 @@ class RoundCheckpoint:
             json.dump(manifest, f)
         return rows
 
+    def snapshot_round_dfs(
+        self,
+        level: int,
+        rnd: int,
+        assign: DataFrame,
+        sizes: DataFrame,
+        empties: DataFrame,
+        metrics: DataFrame,
+    ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+        """Durable per-round state, ALL of it distributed DataFrames —
+        the driver never holds per-cell rows. Returns the reloaded
+        frames (lineage truncated at the snapshot)."""
+        d = self._dir(level, rnd)
+        parts = {"assign": assign, "sizes": sizes, "empties": empties, "metrics": metrics}
+        out = {}
+        for name, df in parts.items():
+            p = os.path.join(d, name)
+            df.write.mode("overwrite").parquet(p)
+            out[name] = self.spark.read.schema(df.schema).parquet(p)
+        manifest = {
+            "level": level,
+            "round": rnd,
+            "rows": out["assign"].count(),
+            "config_token": self.config_token,
+            "state": {},
+            "completed_at": time.time(),
+        }
+        with open(os.path.join(d, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        return out["assign"], out["sizes"], out["empties"], out["metrics"]
+
+    def load_round_dfs(
+        self, level: int, rnd: int, schemas: dict
+    ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+        d = self._dir(level, rnd)
+        return tuple(
+            self.spark.read.schema(schemas[name]).parquet(os.path.join(d, name))
+            for name in ("assign", "sizes", "empties", "metrics")
+        )
+
     def has_round(self, level: int, rnd: int) -> bool:
         p = os.path.join(self._dir(level, rnd), "manifest.json")
         if not os.path.exists(p):
