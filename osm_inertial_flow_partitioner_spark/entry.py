@@ -893,6 +893,23 @@ def _way_turn_table_sql() -> str:
     """
 
 
+def _tile_assignment_sql() -> str:
+    """Golden-VALUES oracle for the flagship multilevel tiling at
+    sf0.01: the assignment pinned from the SINGLE-PROCESS kernel
+    (kernel/multilevel.py — independent of the Spark driver loop) via
+    scripts/gen_tile_golden.py. See goldens.py for provenance."""
+    from .goldens import TILE_ASSIGNMENT, TILE_VERTEX_IDS
+
+    rows = ", ".join(
+        f"({lvl}, {vid}, {cid})"
+        for lvl, cells in sorted(TILE_ASSIGNMENT.items())
+        for vid, cid in zip(TILE_VERTEX_IDS, cells)
+    )
+    return (
+        f"SELECT * FROM (VALUES {rows}) AS t(level, vertex_id, cell_id)"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     n = 1 << RES
     cell_sql = (
@@ -1114,6 +1131,7 @@ def oracle_sql() -> dict[str, str]:
         "way_turn_table": _way_turn_table_sql(),
         "barrier_split": _barrier_split_sql(),
         "traffic_lights": _traffic_light_sql(),
+        "tile_assignment": _tile_assignment_sql(),
         # golden VALUES pinned from the deterministic way/node fixture
         # (sf-independent): RDP at 1.0 m + Google polyline encoding over
         # the loop-split segment geometries. Endpoint/corner behavior is
