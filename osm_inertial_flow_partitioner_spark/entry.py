@@ -18,8 +18,13 @@ from pyspark.sql import functions as F
 
 from .config import PartitionConfig
 from .functions.geo import (
+    POINT_IN_LINE_TOLERANCE,
     cell_parent,
+    central_angle_rad,
+    coord6_nudge,
     destination_point,
+    gc_perp_distance_m,
+    gc_project,
     grid_cell,
     haversine_km,
 )
@@ -37,6 +42,8 @@ from .operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
     simhash,
+    simhash64,
+    simhash64_near_dups,
 )
 from .operators.partitioner import multilevel_partition
 from .operators.sessionize import hourly_rollup, sessionize
@@ -86,6 +93,7 @@ RES = 4  # grid resolution for oracle-checked cell queries
 N_PERM = 8
 N_BANDS = 4
 SIM_BITS = 16
+SIM64_K = 3  # hamming radius for the 64-bit near-dup refine
 _PERMS = minhash_params(N_PERM, seed=42)
 
 #: integer-exact pseudo-coordinates for the customer table
@@ -358,6 +366,108 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["geo_destination"] = geo_destination
 
+    def geo_segment_project(spark, sf):
+        """F6+F7 (s2_geo.go:11-36): great-circle projection of p onto
+        segment a-b plus perpendicular distance in meters. Inputs get
+        the reference's 6-decimal nudge (MakeSixDigitsAfterComa2)."""
+        c = _t(spark, sf, "customer")
+        k = F.col("c_custkey")
+        s = c.select(
+            k.alias("point_id"),
+            coord6_nudge((k * 37) % 1200 / 10.0 - 59.95).alias("plat"),
+            coord6_nudge((k * 91) % 3400 / 10.0 - 169.95).alias("plon"),
+            coord6_nudge((k * 53) % 1200 / 10.0 - 59.95).alias("alat"),
+            coord6_nudge((k * 17) % 3400 / 10.0 - 169.95).alias("alon"),
+            coord6_nudge((k * 29) % 1200 / 10.0 - 59.95).alias("blat"),
+            coord6_nudge((k * 71 + 7) % 3400 / 10.0 - 169.95).alias("blon"),
+        )
+        args = [F.col(x) for x in ("plat", "plon", "alat", "alon", "blat", "blon")]
+        jlat, jlon = gc_project(*args)
+        return s.select(
+            "point_id",
+            F.round(jlat, 6).alias("proj_lat"),
+            F.round(jlon, 6).alias("proj_lon"),
+            F.round(gc_perp_distance_m(*args), 3).alias("dist_m"),
+        )
+
+    q["geo_segment_project"] = geo_segment_project
+
+    def geo_polyline_position(spark, sf):
+        """F8 PointPositionBetweenLinePoints (s2_geo.go:44-61), long
+        form: 4-vertex polylines from consecutive customers; the query
+        point is projected (F6) onto segment line_id%3 and located by
+        the reference's min-|d(p,ci)+d(p,ci+1)-d(ci,ci+1)| rule with
+        1e-3 rad tolerance, pos = i+1, 0 when nothing qualifies. The
+        angular diff is rounded to 12 dp in BOTH engines so endpoint
+        ties resolve to the earliest segment deterministically."""
+        c = _t(spark, sf, "customer")
+        k = F.col("c_custkey")
+        # line/seq via floor-div of the NON-NEGATIVE key: DuckDB //
+        # truncates toward zero while Spark floor() floors, so any
+        # shifted (k-1) form would disagree on a key of 0
+        pts = c.select(
+            F.floor(k / F.lit(4)).cast("long").alias("line_id"),
+            (k % 4).alias("seq"),
+            coord6_nudge((k * 37) % 1200 / 10.0 - 59.95).alias("vlat"),
+            coord6_nudge((k * 91) % 3400 / 10.0 - 169.95).alias("vlon"),
+        )
+        a, b = pts.alias("a"), pts.alias("b")
+        segs = a.join(
+            b,
+            (F.col("a.line_id") == F.col("b.line_id"))
+            & (F.col("b.seq") == F.col("a.seq") + 1),
+        ).select(
+            F.col("a.line_id").alias("line_id"),
+            F.col("a.seq").alias("seq"),
+            F.col("a.vlat").alias("alat"),
+            F.col("a.vlon").alias("alon"),
+            F.col("b.vlat").alias("blat"),
+            F.col("b.vlon").alias("blon"),
+        )
+        lid = F.col("line_id")
+        qs = pts.select("line_id").distinct().select(
+            "line_id",
+            coord6_nudge((lid * 241 + 3) % 1200 / 10.0 - 59.95).alias("plat"),
+            coord6_nudge((lid * 499 + 11) % 3400 / 10.0 - 169.95).alias("plon"),
+        )
+        base = segs.filter(F.col("seq") == lid % 3).join(qs, "line_id")
+        args = [F.col(x) for x in ("plat", "plon", "alat", "alon", "blat", "blon")]
+        r_lat, r_lon = gc_project(*args)
+        gcp = base.select("line_id", r_lat.alias("r_lat"), r_lon.alias("r_lon"))
+        diff = F.round(
+            F.abs(
+                central_angle_rad(
+                    F.col("r_lat"), F.col("r_lon"), F.col("alat"), F.col("alon")
+                )
+                + central_angle_rad(
+                    F.col("r_lat"), F.col("r_lon"), F.col("blat"), F.col("blon")
+                )
+                - central_angle_rad(
+                    F.col("alat"), F.col("alon"), F.col("blat"), F.col("blon")
+                )
+            ),
+            12,
+        )
+        w = Window.partitionBy("line_id").orderBy(
+            F.col("diff").asc(), F.col("seq").asc()
+        )
+        best = (
+            segs.join(gcp, "line_id")
+            .withColumn("diff", diff)
+            .filter(F.col("diff") < F.lit(POINT_IN_LINE_TOLERANCE))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("line_id", (F.col("seq") + 1).alias("pos"))
+        )
+        return gcp.join(best, "line_id", "left").select(
+            "line_id",
+            F.round("r_lat", 6).alias("proj_lat"),
+            F.round("r_lon", 6).alias("proj_lon"),
+            F.coalesce(F.col("pos"), F.lit(0)).cast("long").alias("pos"),
+        )
+
+    q["geo_polyline_position"] = geo_polyline_position
+
     def knn_lookup(spark, sf):
         p = _points(spark, sf).withColumnRenamed("point_id", "entity_id")
         qdf = p.sparkSession.createDataFrame(
@@ -405,6 +515,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     q["simhash"] = lambda spark, sf: simhash(_t(spark, sf, "documents"), bits=SIM_BITS)
+
+    q["simhash64"] = lambda spark, sf: simhash64(_t(spark, sf, "documents"))
+
+    q["simhash_near_dups"] = lambda spark, sf: simhash64_near_dups(
+        _t(spark, sf, "documents"), k=SIM64_K
+    )
 
     q["jaccard_pairs"] = lambda spark, sf: jaccard_pairs(
         _t(spark, sf, "documents"), threshold=0.5
@@ -607,6 +723,166 @@ def _simhash_sql() -> str:
         f"th AS (SELECT doc_id, {th} AS th FROM dt), "
         f"sums AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id) "
         f"SELECT doc_id, ({val})::BIGINT AS simhash FROM sums"
+    )
+
+
+def _simhash64_select_sql() -> str:
+    sums = []
+    for half in ("lo", "hi"):
+        for j in range(32):
+            sums.append(
+                f"sum(CASE WHEN (t{half} >> {j}) & 1 = 1 THEN 1 ELSE -1 END) "
+                f"AS s{half}{j}"
+            )
+    vals = {
+        h: " + ".join(
+            f"(CASE WHEN s{h}{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32)
+        )
+        for h in ("lo", "hi")
+    }
+    return (
+        f"WITH toks AS ({_TOKS_SQL}), "
+        f"dt AS (SELECT DISTINCT doc_id, tok FROM toks), "
+        f"th AS (SELECT doc_id, "
+        f"('0x' || substr(md5(tok), 1, 8))::BIGINT AS tlo, "
+        f"('0x' || substr(md5(tok), 9, 8))::BIGINT AS thi FROM dt), "
+        f"sums AS (SELECT doc_id, {', '.join(sums)} FROM th GROUP BY doc_id) "
+        f"SELECT doc_id, ({vals['hi']})::BIGINT AS sim_hi, "
+        f"({vals['lo']})::BIGINT AS sim_lo FROM sums"
+    )
+
+
+def _simhash64_pairs_sql(k: int) -> str:
+    bands = []
+    for bnum, (col, sh) in enumerate(
+        [("sim_lo", 0), ("sim_lo", 16), ("sim_hi", 0), ("sim_hi", 16)]
+    ):
+        bands.append(
+            f"SELECT doc_id, sim_hi, sim_lo, {bnum} AS band, "
+            f"(({col} >> {sh}) & 65535) AS key FROM sh"
+        )
+    stacked = " UNION ALL ".join(bands)
+    ham = (
+        "(bit_count(xor(a.sim_lo, b.sim_lo)) + "
+        "bit_count(xor(a.sim_hi, b.sim_hi)))::BIGINT"
+    )
+    return (
+        f"WITH sh AS ({_simhash64_select_sql()}), stacked AS ({stacked}) "
+        f"SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2, {ham} AS hamming "
+        f"FROM stacked a JOIN stacked b ON a.band = b.band AND a.key = b.key "
+        f"WHERE a.doc_id < b.doc_id AND {ham} <= {k}"
+    )
+
+
+_CA_SQL = (
+    "2*asin(sqrt(pow(sin(radians({lat2}-({lat1}))/2),2) + "
+    "cos(radians({lat1}))*cos(radians({lat2}))*pow(sin(radians({lon2}-({lon1}))/2),2)))"
+)
+
+
+def _coord6_sql(expr: str) -> str:
+    """DuckDB twin of coord6_nudge: round(x + 0.000001, 6)."""
+    return f"round(({expr}) + 0.000001, 6)"
+
+
+def _gc_project_ctes(keycols: str) -> str:
+    """CTE chain mirroring functions.geo.gc_project expression by
+    expression (same operation tree for float parity). Expects a CTE
+    named `base` with columns {keycols}, plat, plon, alat, alon, blat,
+    blon; terminates in `gcp` ({keycols}, plat, plon, r_lat, r_lon)."""
+    return f"""
+        uv AS (SELECT {keycols}, plat, plon,
+            cos(radians(plat))*cos(radians(plon)) AS px,
+            cos(radians(plat))*sin(radians(plon)) AS py,
+            sin(radians(plat)) AS pz,
+            cos(radians(alat))*cos(radians(alon)) AS ax,
+            cos(radians(alat))*sin(radians(alon)) AS ay,
+            sin(radians(alat)) AS az,
+            cos(radians(blat))*cos(radians(blon)) AS bx,
+            cos(radians(blat))*sin(radians(blon)) AS by,
+            sin(radians(blat)) AS bz
+          FROM base),
+        nv AS (SELECT *, ay*bz - az*by AS nx, az*bx - ax*bz AS ny,
+                         ax*by - ay*bx AS nz FROM uv),
+        dv AS (SELECT *, (px*nx + py*ny + pz*nz) / (nx*nx + ny*ny + nz*nz)
+                         AS dd FROM nv),
+        qv AS (SELECT *, px - dd*nx AS qx, py - dd*ny AS qy,
+                         pz - dd*nz AS qz FROM dv),
+        sv AS (SELECT *,
+            ((ny*az - nz*ay)*qx + (nz*ax - nx*az)*qy + (nx*ay - ny*ax)*qz)
+              AS det_naq,
+            ((qy*bz - qz*by)*nx + (qz*bx - qx*bz)*ny + (qx*by - qy*bx)*nz)
+              AS det_qbn,
+            (pow(px - ax, 2) + pow(py - ay, 2) + pow(pz - az, 2)) AS da2,
+            (pow(px - bx, 2) + pow(py - by, 2) + pow(pz - bz, 2)) AS db2,
+            sqrt(qx*qx + qy*qy + qz*qz) AS qn
+          FROM qv),
+        rv AS (SELECT *,
+            CASE WHEN det_naq > 0 AND det_qbn > 0 THEN qx/qn
+                 WHEN da2 <= db2 THEN ax ELSE bx END AS rx,
+            CASE WHEN det_naq > 0 AND det_qbn > 0 THEN qy/qn
+                 WHEN da2 <= db2 THEN ay ELSE by END AS ry,
+            CASE WHEN det_naq > 0 AND det_qbn > 0 THEN qz/qn
+                 WHEN da2 <= db2 THEN az ELSE bz END AS rz
+          FROM sv),
+        gcp AS (SELECT {keycols}, plat, plon,
+            degrees(asin(least(greatest(rz, -1.0), 1.0))) AS r_lat,
+            degrees(atan2(ry, rx)) AS r_lon
+          FROM rv)"""
+
+
+def _segment_project_sql() -> str:
+    coords = ", ".join(
+        f"{_coord6_sql(expr)} AS {name}"
+        for name, expr in [
+            ("plat", "((c_custkey * 37) % 1200) / 10.0 - 59.95"),
+            ("plon", "((c_custkey * 91) % 3400) / 10.0 - 169.95"),
+            ("alat", "((c_custkey * 53) % 1200) / 10.0 - 59.95"),
+            ("alon", "((c_custkey * 17) % 3400) / 10.0 - 169.95"),
+            ("blat", "((c_custkey * 29) % 1200) / 10.0 - 59.95"),
+            ("blon", "((c_custkey * 71 + 7) % 3400) / 10.0 - 169.95"),
+        ]
+    )
+    hav = _HAVERSINE_SQL.format(lat1="plat", lon1="plon", lat2="r_lat", lon2="r_lon")
+    return (
+        f"WITH base AS (SELECT c_custkey AS point_id, {coords} FROM customer), "
+        f"{_gc_project_ctes('point_id')} "
+        f"SELECT point_id, round(r_lat, 6) AS proj_lat, "
+        f"round(r_lon, 6) AS proj_lon, "
+        f"round(({hav}) * 1000.0, 3) AS dist_m FROM gcp"
+    )
+
+
+def _polyline_position_sql() -> str:
+    ca_a = _CA_SQL.format(lat1="g.r_lat", lon1="g.r_lon", lat2="s.alat", lon2="s.alon")
+    ca_b = _CA_SQL.format(lat1="g.r_lat", lon1="g.r_lon", lat2="s.blat", lon2="s.blon")
+    ca_ab = _CA_SQL.format(lat1="s.alat", lon1="s.alon", lat2="s.blat", lon2="s.blon")
+    vlat = _coord6_sql("((c_custkey * 37) % 1200) / 10.0 - 59.95")
+    vlon = _coord6_sql("((c_custkey * 91) % 3400) / 10.0 - 169.95")
+    plat = _coord6_sql("((line_id * 241 + 3) % 1200) / 10.0 - 59.95")
+    plon = _coord6_sql("((line_id * 499 + 11) % 3400) / 10.0 - 169.95")
+    return (
+        f"WITH pts AS (SELECT (c_custkey // 4) AS line_id, "
+        f"(c_custkey % 4) AS seq, {vlat} AS vlat, {vlon} AS vlon "
+        f"FROM customer), "
+        f"segs AS (SELECT a.line_id, a.seq, a.vlat AS alat, a.vlon AS alon, "
+        f"b.vlat AS blat, b.vlon AS blon FROM pts a JOIN pts b "
+        f"ON a.line_id = b.line_id AND b.seq = a.seq + 1), "
+        f"qs AS (SELECT DISTINCT line_id, {plat} AS plat, {plon} AS plon "
+        f"FROM pts), "
+        f"base AS (SELECT s.line_id, q.plat, q.plon, s.alat, s.alon, "
+        f"s.blat, s.blon FROM segs s JOIN qs q ON s.line_id = q.line_id "
+        f"WHERE s.seq = s.line_id % 3), "
+        f"{_gc_project_ctes('line_id')}, "
+        f"cand AS (SELECT s.line_id, s.seq, "
+        f"round(abs(({ca_a}) + ({ca_b}) - ({ca_ab})), 12) AS diff "
+        f"FROM segs s JOIN gcp g ON s.line_id = g.line_id), "
+        f"best AS (SELECT line_id, seq + 1 AS pos, row_number() OVER "
+        f"(PARTITION BY line_id ORDER BY diff ASC, seq ASC) AS rk "
+        f"FROM cand WHERE diff < 0.001) "
+        f"SELECT g.line_id, round(g.r_lat, 6) AS proj_lat, "
+        f"round(g.r_lon, 6) AS proj_lon, coalesce(b.pos, 0)::BIGINT AS pos "
+        f"FROM gcp g LEFT JOIN best b ON g.line_id = b.line_id AND b.rk = 1"
     )
 
 
@@ -1034,6 +1310,10 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _minhash_select_sql(),
         "lsh_candidate_pairs": _lsh_pairs_sql(),
         "simhash": _simhash_sql(),
+        "simhash64": _simhash64_select_sql(),
+        "simhash_near_dups": _simhash64_pairs_sql(SIM64_K),
+        "geo_segment_project": _segment_project_sql(),
+        "geo_polyline_position": _polyline_position_sql(),
         "jaccard_pairs": f"""
             WITH toks AS ({_TOKS_SQL}),
             dt0 AS (SELECT DISTINCT doc_id, tok FROM toks),

@@ -133,3 +133,105 @@ def grid_disk(cell: Column, res: int, k: int = 1) -> Column:
                 ).otherwise(F.lit(None).cast("long"))
             )
     return F.array_compact(F.array(*cells))
+
+# ---------------------------------------------------------------------------
+# F6-F8: great-circle point-to-segment geometry
+# (`/root/reference/pkg/geo/s2_geo.go:11-61`). Pure column math — the
+# S2 library operations (PointFromLatLng, Project, LatLng.Distance) are
+# re-derived as closed-form 3D unit-vector arithmetic so both Spark and
+# the DuckDB oracle run the identical formula.
+# ---------------------------------------------------------------------------
+
+
+def coord6_nudge(col: Column) -> Column:
+    """The reference's MakeSixDigitsAfterComa2 (s2_geo.go:63-78) for
+    inputs with != 6 decimal places: round(x + 0.000001, 6). Applied as
+    a query-level preprocessing step; the synthetic coords always have
+    <= 2 decimals so the nudge branch is unconditional here."""
+    return F.round(col + F.lit(0.000001), 6)
+
+
+def _unit_xyz(lat: Column, lon: Column) -> tuple[Column, Column, Column]:
+    """Unit sphere vector of a lat/lon in degrees (s2.PointFromLatLng)."""
+    la, lo = F.radians(lat), F.radians(lon)
+    return (F.cos(la) * F.cos(lo), F.cos(la) * F.sin(lo), F.sin(la))
+
+
+def gc_project(
+    plat: Column,
+    plon: Column,
+    alat: Column,
+    alon: Column,
+    blat: Column,
+    blon: Column,
+) -> tuple[Column, Column]:
+    """F6 ProjectPointToLineCoord (s2_geo.go:11-25): closest point on
+    the great-circle SEGMENT a-b to p, as (lat, lon) degrees.
+
+    Mirrors s2.Project: drop p onto the plane of the great circle
+    through a,b (q = p - (p.n/|n|^2) n with n = a x b); if q lies within
+    the arc — Sign(n,a,q) and Sign(q,b,n) both positive, i.e. the
+    det[n,a,q] / det[q,b,n] triple products — return q normalized, else
+    the nearer endpoint by chordal distance."""
+    ax, ay, az = _unit_xyz(alat, alon)
+    bx, by, bz = _unit_xyz(blat, blon)
+    px, py, pz = _unit_xyz(plat, plon)
+    nx = ay * bz - az * by
+    ny = az * bx - ax * bz
+    nz = ax * by - ay * bx
+    n2 = nx * nx + ny * ny + nz * nz
+    d = (px * nx + py * ny + pz * nz) / n2
+    qx, qy, qz = px - d * nx, py - d * ny, pz - d * nz
+    # det[n,a,q]: (n x a) . q  — q strictly past a going toward b
+    det_naq = (
+        (ny * az - nz * ay) * qx
+        + (nz * ax - nx * az) * qy
+        + (nx * ay - ny * ax) * qz
+    )
+    # det[q,b,n]: (q x b) . n  — q strictly before b
+    det_qbn = (
+        (qy * bz - qz * by) * nx
+        + (qz * bx - qx * bz) * ny
+        + (qx * by - qy * bx) * nz
+    )
+    on_arc = (det_naq > 0) & (det_qbn > 0)
+    da2 = (px - ax) ** 2 + (py - ay) ** 2 + (pz - az) ** 2
+    db2 = (px - bx) ** 2 + (py - by) ** 2 + (pz - bz) ** 2
+    use_a = da2 <= db2
+    qn = F.sqrt(qx * qx + qy * qy + qz * qz)
+    rx = F.when(on_arc, qx / qn).otherwise(F.when(use_a, ax).otherwise(bx))
+    ry = F.when(on_arc, qy / qn).otherwise(F.when(use_a, ay).otherwise(by))
+    rz = F.when(on_arc, qz / qn).otherwise(F.when(use_a, az).otherwise(bz))
+    return (F.degrees(F.asin(F.least(F.greatest(rz, F.lit(-1.0)), F.lit(1.0)))),
+            F.degrees(F.atan2(ry, rx)))
+
+
+def gc_perp_distance_m(
+    plat: Column,
+    plon: Column,
+    alat: Column,
+    alon: Column,
+    blat: Column,
+    blon: Column,
+) -> Column:
+    """F7 PointLinePerpendicularDistance (s2_geo.go:28-36): haversine
+    from p to its segment projection, in METERS (ref: km * 1000)."""
+    jlat, jlon = gc_project(plat, plon, alat, alon, blat, blon)
+    return haversine_km(plat, plon, jlat, jlon) * F.lit(1000.0)
+
+
+def central_angle_rad(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """Great-circle central angle in RADIANS (s2 LatLng.Distance), used
+    by F8's on-segment test: 2*asin(sqrt(haversine-term))."""
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = F.pow(F.sin(dlat / 2), 2) + F.cos(F.radians(lat1)) * F.cos(
+        F.radians(lat2)
+    ) * F.pow(F.sin(dlon / 2), 2)
+    return F.lit(2.0) * F.asin(F.sqrt(a))
+
+
+#: F8 tolerance (s2_geo.go:39): |d(p,ci)+d(p,ci+1)-d(ci,ci+1)| < 1e-3 rad
+POINT_IN_LINE_TOLERANCE = 1e-3

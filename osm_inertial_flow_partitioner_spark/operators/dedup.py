@@ -158,3 +158,94 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc1", "doc2", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# 64-bit SimHash + hamming-k refine (the production near-dup shape; the
+# 32-bit `simhash` above keeps the original exact-bit oracle row)
+# ---------------------------------------------------------------------------
+
+
+def _md5_slice32(col, off: int):
+    """32 hash bits from md5 hex chars [off, off+8) — portable to the
+    DuckDB oracle as ('0x' || substr(md5(x), off, 8))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), off, 8), 16, 10).cast("long")
+
+
+def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash as two independent 32-bit halves (doc_id, sim_hi,
+    sim_lo). Two md5 slices supply 64 independent token-hash bits (the
+    28-bit md5_small of the 32-bit variant can't reach past bit 27);
+    the halves stay separate so neither engine touches the sign bit of
+    a 64-bit integer. One shuffle: 64 conditional-sum agg columns."""
+    toks = _doc_tokens(docs, text_col)
+    toks = toks.withColumn("tlo", _md5_slice32(F.col("tok"), 1)).withColumn(
+        "thi", _md5_slice32(F.col("tok"), 9)
+    )
+    aggs = []
+    for half, src in (("lo", "tlo"), ("hi", "thi")):
+        for j in range(32):
+            bit = F.shiftright(F.col(src), j).bitwiseAND(F.lit(1))
+            aggs.append(
+                F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{half}{j}")
+            )
+    sums = toks.groupBy("doc_id").agg(*aggs)
+    out = {}
+    for half in ("lo", "hi"):
+        acc = F.lit(0).cast("long")
+        for j in range(32):
+            acc = acc + F.when(F.col(f"s{half}{j}") > 0, F.lit(1 << j)).otherwise(
+                F.lit(0)
+            )
+        out[half] = acc
+    return sums.select(
+        "doc_id", out["hi"].alias("sim_hi"), out["lo"].alias("sim_lo")
+    )
+
+
+def simhash64_near_dups(
+    docs: DataFrame, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash64) <= k.
+
+    Scale path: band the 64 bits into 4 x 16-bit keys and equi-join on
+    (band, key) — by pigeonhole any pair within hamming 3 shares at
+    least one clean band, so the bucket join is LOSSLESS for k <= 3
+    (for k > 3 it is the standard probabilistic candidate generator).
+    Refine = popcount of the XOR of both halves. No all-pairs product;
+    a degenerate bucket (mass-identical docs) is the same skew case as
+    LSH and takes the same salting remedy."""
+    sh = simhash64(docs, text_col)
+    bands = []
+    for b, (col, sh_amt) in enumerate(
+        [("sim_lo", 0), ("sim_lo", 16), ("sim_hi", 0), ("sim_hi", 16)]
+    ):
+        bands.append(
+            sh.select(
+                "doc_id",
+                "sim_hi",
+                "sim_lo",
+                F.lit(b).alias("band"),
+                F.shiftright(F.col(col), sh_amt)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("key"),
+            )
+        )
+    stacked = bands[0]
+    for bdf in bands[1:]:
+        stacked = stacked.unionByName(bdf)
+    a, b_ = stacked.alias("a"), stacked.alias("b")
+    ham = F.bit_count(
+        F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo"))
+    ) + F.bit_count(F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi")))
+    return (
+        a.join(b_, ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            ham.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= k)
+        .distinct()
+    )

@@ -68,7 +68,8 @@ def test_query_matches_oracle(spark, ddb, name):
 
 def test_rows_only_queries_run(spark):
     only_rows = set(E.queries()) - set(E.oracle_sql())
-    assert "tile_assignment" in only_rows
+    # the flagship assignment is oracle-checked via a pinned golden
+    assert "tile_assignment" not in only_rows
     for name in sorted(only_rows):
         df = E.queries()[name](spark, SF_DIR)
         assert df.count() >= 0
