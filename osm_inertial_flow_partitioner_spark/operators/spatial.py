@@ -62,24 +62,38 @@ def polygon_covering_cells(
 
 @F.pandas_udf(BooleanType())
 def _ray_cast(
-    lat: pd.Series, lon: pd.Series, ring_lat: pd.Series, ring_lon: pd.Series
+    bid: pd.Series, lat: pd.Series, lon: pd.Series,
+    ring_lat: pd.Series, ring_lon: pd.Series,
 ) -> pd.Series:
-    """Exact even-odd ray casting, vectorized per Arrow batch. Points on
-    an edge follow the half-open convention (consistent with the oracle
-    fixtures, which avoid boundary points)."""
+    """Exact even-odd ray casting. Points on an edge follow the
+    half-open convention (consistent with the oracle fixtures, which
+    avoid boundary points).
+
+    Vectorized ACROSS POINTS per polygon: rows in a batch are grouped by
+    boundary_id (a handful of broadcast polygons), then each ring edge
+    is tested against the whole point vector at once — Python work per
+    batch is O(#polygons x #edges), independent of the row count. An
+    edge with y1 == y2 can never satisfy (y1 > y) != (y2 > y), so
+    skipping it (instead of the divide-ignore of a per-row formulation)
+    is result-identical."""
     out = np.zeros(len(lat), dtype=bool)
     la = lat.to_numpy(np.float64)
     lo = lon.to_numpy(np.float64)
-    for i in range(len(lat)):
-        ry = np.asarray(ring_lat.iloc[i], dtype=np.float64)
-        rx = np.asarray(ring_lon.iloc[i], dtype=np.float64)
-        x, y = lo[i], la[i]
-        x1, y1 = rx[:-1], ry[:-1]
-        x2, y2 = rx[1:], ry[1:]
-        cond = (y1 > y) != (y2 > y)
-        with np.errstate(divide="ignore", invalid="ignore"):
+    bids = bid.to_numpy()
+    for b in pd.unique(bids):
+        idx = np.flatnonzero(bids == b)
+        ry = np.asarray(ring_lat.iloc[idx[0]], dtype=np.float64)
+        rx = np.asarray(ring_lon.iloc[idx[0]], dtype=np.float64)
+        x, y = lo[idx], la[idx]
+        acc = np.zeros(len(idx), dtype=np.int64)
+        for j in range(len(rx) - 1):
+            x1, y1, x2, y2 = rx[j], ry[j], rx[j + 1], ry[j + 1]
+            if y1 == y2:
+                continue
+            cond = (y1 > y) != (y2 > y)
             xin = (x2 - x1) * (y - y1) / (y2 - y1) + x1
-        out[i] = (cond & (x < xin)).sum() % 2 == 1
+            acc += cond & (x < xin)
+        out[idx] = (acc % 2) == 1
     return pd.Series(out)
 
 
@@ -103,7 +117,13 @@ def point_in_polygon_join(
     pts = points.withColumn("cell", grid_cell(F.col(point_lat), F.col(point_lon), res))
     cand = pts.join(F.broadcast(polys), "cell")
     return cand.filter(
-        _ray_cast(F.col(point_lat), F.col(point_lon), F.col("ring_lat"), F.col("ring_lon"))
+        _ray_cast(
+            F.col("boundary_id"),
+            F.col(point_lat),
+            F.col(point_lon),
+            F.col("ring_lat"),
+            F.col("ring_lon"),
+        )
     ).drop("ring_lat", "ring_lon", "cell")
 
 
