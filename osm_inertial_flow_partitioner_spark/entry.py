@@ -56,7 +56,7 @@ from .operators.spatial import (
 )
 from .functions.geometry import polyline_encode_udf, rdp_simplify_udf
 from .operators.multimodal import extract_features
-from .operators.textops import document_stats
+from .operators.textops import corpus_filter, document_stats
 from .operators.waygraph import (
     ACCEPTED_HIGHWAY,
     BARRIER_KINDS,
@@ -528,6 +528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- text analysis ----
     q["text_stats"] = lambda spark, sf: document_stats(_t(spark, sf, "documents"))
+
+    q["corpus_filter"] = lambda spark, sf: corpus_filter(_t(spark, sf, "documents"))
 
     # ---- similarity search ----
     def ann_cosine_topk(spark, sf):
@@ -1186,6 +1188,52 @@ def _tile_assignment_sql() -> str:
     )
 
 
+_DEDUP_EXACT_SQL = """
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM (SELECT doc_id,
+            md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+          FROM documents)
+    GROUP BY h
+"""
+
+
+def _text_stats_sql() -> str:
+    return f"""
+            WITH toks AS ({_TOKS_SQL}),
+            agg AS (SELECT doc_id,
+                      count(*)::BIGINT AS n_tokens,
+                      count(DISTINCT tok)::BIGINT AS n_distinct_tokens,
+                      round(sum(length(tok)) * 1.0 / count(*), 6) AS avg_token_len,
+                      round(sum(CASE WHEN tok IN ('the','a','of','and','to','in','is','on','for','with')
+                                THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS stopword_ratio,
+                      sum(CASE WHEN tok IN ('the','and','of') THEN 1 ELSE 0 END) AS s_en,
+                      sum(CASE WHEN tok IN ('der','und','die') THEN 1 ELSE 0 END) AS s_de,
+                      sum(CASE WHEN tok IN ('le','et','la') THEN 1 ELSE 0 END) AS s_fr,
+                      sum(CASE WHEN tok IN ('el','y','de') THEN 1 ELSE 0 END) AS s_es
+                    FROM toks GROUP BY doc_id),
+            base AS (SELECT doc_id,
+                      round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                            * 1.0 / greatest(length(text), 1), 6) AS punct_ratio,
+                      ('0x' || substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15))::BIGINT
+                        AS fingerprint
+                     FROM documents)
+            SELECT a.doc_id, n_tokens, n_distinct_tokens, avg_token_len,
+                   stopword_ratio, punct_ratio,
+                   round((CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.5 END)
+                         * (0.5 + 0.5 * n_distinct_tokens / greatest(n_tokens, 1))
+                         - 0.25 * punct_ratio, 6) AS quality,
+                   CASE
+                     WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                     WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                     WHEN s_es > 0 AND s_es >= s_fr THEN 'es'
+                     WHEN s_fr > 0 THEN 'fr'
+                     ELSE 'und'
+                   END AS lang_pred,
+                   fingerprint
+            FROM agg a JOIN base USING (doc_id)
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     n = 1 << RES
     cell_sql = (
@@ -1300,13 +1348,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, entity_id, dist_km, rk FROM r WHERE rk <= 5
         """,
         "pip_join": _pip_sql(),
-        "dedup_exact": """
-            SELECT min(doc_id) AS doc_id, count(*) AS n_copies
-            FROM (SELECT doc_id,
-                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
-                  FROM documents)
-            GROUP BY h
-        """,
+        "dedup_exact": _DEDUP_EXACT_SQL,
         "minhash_signatures": _minhash_select_sql(),
         "lsh_candidate_pairs": _lsh_pairs_sql(),
         "simhash": _simhash_sql(),
@@ -1329,39 +1371,13 @@ def oracle_sql() -> dict[str, str]:
                        JOIN sizes s2 ON doc2 = s2.doc_id
             WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.5
         """,
-        "text_stats": f"""
-            WITH toks AS ({_TOKS_SQL}),
-            agg AS (SELECT doc_id,
-                      count(*)::BIGINT AS n_tokens,
-                      count(DISTINCT tok)::BIGINT AS n_distinct_tokens,
-                      round(sum(length(tok)) * 1.0 / count(*), 6) AS avg_token_len,
-                      round(sum(CASE WHEN tok IN ('the','a','of','and','to','in','is','on','for','with')
-                                THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS stopword_ratio,
-                      sum(CASE WHEN tok IN ('the','and','of') THEN 1 ELSE 0 END) AS s_en,
-                      sum(CASE WHEN tok IN ('der','und','die') THEN 1 ELSE 0 END) AS s_de,
-                      sum(CASE WHEN tok IN ('le','et','la') THEN 1 ELSE 0 END) AS s_fr,
-                      sum(CASE WHEN tok IN ('el','y','de') THEN 1 ELSE 0 END) AS s_es
-                    FROM toks GROUP BY doc_id),
-            base AS (SELECT doc_id,
-                      round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
-                            * 1.0 / greatest(length(text), 1), 6) AS punct_ratio,
-                      ('0x' || substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15))::BIGINT
-                        AS fingerprint
-                     FROM documents)
-            SELECT a.doc_id, n_tokens, n_distinct_tokens, avg_token_len,
-                   stopword_ratio, punct_ratio,
-                   round((CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.5 END)
-                         * (0.5 + 0.5 * n_distinct_tokens / greatest(n_tokens, 1))
-                         - 0.25 * punct_ratio, 6) AS quality,
-                   CASE
-                     WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
-                     WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr THEN 'en'
-                     WHEN s_es > 0 AND s_es >= s_fr THEN 'es'
-                     WHEN s_fr > 0 THEN 'fr'
-                     ELSE 'und'
-                   END AS lang_pred,
-                   fingerprint
-            FROM agg a JOIN base USING (doc_id)
+        "text_stats": _text_stats_sql(),
+        "corpus_filter": f"""
+            WITH stats AS ({_text_stats_sql()}),
+            reps AS ({_DEDUP_EXACT_SQL})
+            SELECT doc_id, lang_pred, n_tokens, quality, n_copies
+            FROM stats JOIN reps USING (doc_id)
+            WHERE n_tokens >= 10 AND quality >= 0.5 AND lang_pred = 'en'
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qvec

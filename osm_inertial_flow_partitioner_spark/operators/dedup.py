@@ -67,9 +67,21 @@ def lsh_candidate_pairs(
     bands: int = 4,
     text_col: str = "text",
     seed: int = 42,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """LSH banding: rows-per-band = num_perm/bands; docs sharing any
-    band bucket become a candidate pair (doc1 < doc2, distinct)."""
+    band bucket become a candidate pair (doc1 < doc2, distinct).
+
+    ``bucket_cap`` is the degenerate-bucket guard for corpus scale: a
+    (band, bucket) holding d docs emits d^2 join rows, and a
+    mass-duplicated document (boilerplate pages at CC scale) creates one
+    bucket with d ~ millions. Buckets with > bucket_cap docs are
+    EXCLUDED from the pairwise join — their members are, by
+    construction, near-identical at the full-signature level, so the
+    production pipeline routes them through ``lsh_dup_groups`` (one
+    group row per bucket, linear output) instead of quadratic pair
+    expansion. The oracle row runs uncapped (cap semantics are tested
+    with a planted hot bucket in pytest)."""
     assert num_perm % bands == 0
     rows = num_perm // bands
     sigs = minhash_signatures(docs, num_perm, text_col, seed)
@@ -81,6 +93,14 @@ def lsh_candidate_pairs(
     for b, bc in enumerate(band_cols):
         part = sigs.select("doc_id", F.lit(b).alias("band"), bc)
         stacked = part if stacked is None else stacked.unionByName(part)
+    if bucket_cap is not None:
+        small = (
+            stacked.groupBy("band", "bucket")
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") <= bucket_cap)
+            .select("band", "bucket")
+        )
+        stacked = stacked.join(small, ["band", "bucket"], "left_semi")
     left = stacked.select(F.col("doc_id").alias("doc1"), "band", "bucket")
     right = stacked.select(F.col("doc_id").alias("doc2"), "band", "bucket")
     return (
@@ -88,6 +108,26 @@ def lsh_candidate_pairs(
         .filter(F.col("doc1") < F.col("doc2"))
         .select("doc1", "doc2")
         .distinct()
+    )
+
+
+def lsh_dup_groups(
+    docs: DataFrame,
+    num_perm: int = 16,
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """Linear-output companion to the bucket cap: docs sharing the FULL
+    minhash signature form one dup group (group representative = min
+    doc_id). A degenerate million-doc bucket becomes ONE row here
+    instead of 10^12 pair rows."""
+    sigs = minhash_signatures(docs, num_perm, text_col, seed)
+    key = F.concat_ws("_", *[F.col(f"mh{i}") for i in range(num_perm)])
+    return (
+        sigs.groupBy(key.alias("sig"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("doc_id", "n_docs")
     )
 
 

@@ -87,7 +87,9 @@ METRICS_SCHEMA = (
 #: individual finish-tasks to ~1-3s (straggler control — a full local
 #: recursion runs 10 direction jobs per sub-bisection) while still
 #: collapsing the deep tail of the bisection tree into one pass.
-DEFAULT_LOCAL_RECURSION_THRESHOLD = 1 << 12
+DEFAULT_LOCAL_RECURSION_THRESHOLD = int(
+    os.environ.get("TILER_FINISH_THRESHOLD", 1 << 12)
+)
 
 
 def _sorted_cell_arrays(vdf: pd.DataFrame, edf: pd.DataFrame):
@@ -502,17 +504,25 @@ def _run_level(
                 )
                 act = assign.join(kdf, ["root", "path"], "inner")
                 e_act = _label_edges(edges, act)
-                cc = (
-                    act.groupBy("root", "path")
-                    .cogroup(e_act.groupBy("root", "path"))
-                    .applyInPandas(_cc_kernel, schema=CC_OUT_SCHEMA)
-                    .persist()
-                )
-                to_unpersist.append(cc)
-                if os.environ.get("TILER_DEBUG"):
-                    _t = time.time()
-                    cc.count()
-                    print(f"[tiler]   cc pass took {time.time() - _t:.1f}s", flush=True)
+                # the CC pass exists ONLY for task fan-out (per-component
+                # min-cuts union exactly — see _make_direction_kernel).
+                # Once the 10 direction jobs per cell already saturate
+                # the cluster, skip it: one less Python pass + two fewer
+                # joins per round, identical results (comp = 0 puts the
+                # whole cell in one group).
+                use_cc = n_big * 10 < parallelism
+                if use_cc:
+                    cc = (
+                        act.groupBy("root", "path")
+                        .cogroup(e_act.groupBy("root", "path"))
+                        .applyInPandas(_cc_kernel, schema=CC_OUT_SCHEMA)
+                        .persist()
+                    )
+                    to_unpersist.append(cc)
+                    if os.environ.get("TILER_DEBUG"):
+                        _t = time.time()
+                        cc.count()
+                        print(f"[tiler]   cc pass took {time.time() - _t:.1f}s", flush=True)
 
                 def _jobs():  # fresh frame each use (self-join ambiguity)
                     return spark.createDataFrame(
@@ -553,26 +563,42 @@ def _run_level(
                         .when(F.col("rn") > F.col("n") - F.col("k"), F.lit("snk"))
                         .otherwise(F.lit("non")),
                     )
-                    .join(cc, ["root", "path", "vertex_id"])
-                    .select(
-                        "root", "path", "comp", "job", "vertex_id",
-                        "lat", "lon", "rn", "role",
+                )
+                if use_cc:
+                    act10 = act10.join(cc, ["root", "path", "vertex_id"])
+                else:
+                    act10 = act10.withColumn("comp", F.lit(0).cast("long"))
+                act10 = act10.select(
+                    "root", "path", "comp", "job", "vertex_id",
+                    "lat", "lon", "rn", "role",
+                )
+                if use_cc:
+                    # re-alias every column (fresh expr ids) — cc feeds
+                    # both cogroup sides and would otherwise trip the
+                    # ambiguous self-join check
+                    cc_e = cc.select(
+                        F.col("root").alias("root"),
+                        F.col("path").alias("path"),
+                        F.col("vertex_id").alias("tail"),
+                        F.col("comp").alias("comp"),
                     )
-                )
-                # re-alias every column (fresh expr ids) — cc feeds both
-                # cogroup sides and would otherwise trip the ambiguous
-                # self-join check
-                cc_e = cc.select(
-                    F.col("root").alias("root"),
-                    F.col("path").alias("path"),
-                    F.col("vertex_id").alias("tail"),
-                    F.col("comp").alias("comp"),
-                )
-                e10 = (
-                    e_act.join(cc_e, ["root", "path", "tail"])
-                    .crossJoin(F.broadcast(_jobs()))
-                    .select("root", "path", "comp", "job", "edge_id", "tail", "head")
-                )
+                    e10 = (
+                        e_act.join(cc_e, ["root", "path", "tail"])
+                        .crossJoin(F.broadcast(_jobs()))
+                        .select(
+                            "root", "path", "comp", "job",
+                            "edge_id", "tail", "head",
+                        )
+                    )
+                else:
+                    e10 = (
+                        e_act.withColumn("comp", F.lit(0).cast("long"))
+                        .crossJoin(F.broadcast(_jobs()))
+                        .select(
+                            "root", "path", "comp", "job",
+                            "edge_id", "tail", "head",
+                        )
+                    )
                 out = (
                     act10.groupBy("root", "path", "comp", "job")
                     .cogroup(e10.groupBy("root", "path", "comp", "job"))
@@ -584,7 +610,13 @@ def _run_level(
                     _t = time.time()
                     out.count()
                     print(f"[tiler]   direction kernel took {time.time() - _t:.1f}s", flush=True)
-                m = (
+                # frozen argmin (cut, balance, job) per cell (SURVEY.md
+                # §7) — DISTRIBUTED via lexicographic struct-min (all
+                # integer fields, exact), so the round needs NO driver
+                # collect over per-job metrics: the single per-round
+                # action (the assignment localCheckpoint below) computes
+                # kernels, winners and children in one job.
+                per_job = (
                     out.groupBy("root", "path", "comp", "job")
                     .agg(
                         F.first("cut_edges").alias("cut_edges"),
@@ -592,24 +624,37 @@ def _run_level(
                     )
                     .groupBy("root", "path", "job")
                     .agg(
-                        F.sum("cut_edges").alias("cut_edges"),
-                        F.sum("part_two").alias("part_two"),
+                        F.sum("cut_edges").cast("long").alias("cut_edges"),
+                        F.sum("part_two").cast("long").alias("part_two"),
                     )
-                    .collect()
+                    .join(ksrc.select("root", "path", "n"), ["root", "path"])
+                    .withColumn(
+                        "balance",
+                        F.abs(
+                            F.floor(F.col("n") / 2).cast("long")
+                            - F.col("part_two")
+                        ),
+                    )
                 )
-                # frozen argmin (cut, balance, job) per cell (SURVEY.md §7)
-                best: dict[tuple[int, int], tuple] = {}
-                for r in m:
-                    cell = (r["root"], r["path"])
-                    n_cell = big_sizes[cell]
-                    balance = abs(n_cell // 2 - r["part_two"])
-                    key = (r["cut_edges"], balance, r["job"])
-                    if cell not in best or key < best[cell][0]:
-                        best[cell] = (key, r)
-                winners = [(c[0], c[1], int(v[0][2])) for c, v in best.items()]
-                wdf = F.broadcast(
-                    spark.createDataFrame(winners, "root long, path long, job int")
+                wbest = (
+                    per_job.groupBy("root", "path")
+                    .agg(
+                        F.min(
+                            F.struct(
+                                "cut_edges", "balance", "job", "part_two", "n"
+                            )
+                        ).alias("b")
+                    )
+                    .select(
+                        "root",
+                        "path",
+                        F.col("b.job").alias("job"),
+                        F.col("b.cut_edges").alias("cut_edges"),
+                        F.col("b.part_two").alias("part_two"),
+                        F.col("b.n").alias("n"),
+                    )
                 )
+                wdf = F.broadcast(wbest.select("root", "path", "job"))
                 chosen = out.join(wdf, ["root", "path", "job"], "inner")
                 frames.append(
                     chosen.select(
@@ -620,28 +665,47 @@ def _run_level(
                         "lon",
                     )
                 )
-                mrows, srows, erows = [], [], []
-                for (root, path), (key, r) in best.items():
-                    n_cell = big_sizes[(root, path)]
-                    p2 = int(r["part_two"])
-                    mrows.append(
-                        (
-                            level, rnd, root, path, n_cell, int(r["cut_edges"]),
-                            p2, int(r["job"]), 1 if p2 == n_cell else 0,
-                            "direction",
-                        )
+                metric_parts.append(
+                    wbest.select(
+                        F.lit(level).cast("int").alias("level"),
+                        F.lit(rnd).cast("int").alias("round"),
+                        "root",
+                        F.col("path").alias("parent_path"),
+                        F.col("n").cast("int").alias("n"),
+                        F.col("cut_edges").cast("int").alias("cut_edges"),
+                        F.col("part_two").cast("int").alias("part_two"),
+                        F.col("job").cast("int").alias("best_job"),
+                        (F.col("part_two") == F.col("n"))
+                        .cast("int")
+                        .alias("n_empty"),
+                        F.lit("direction").alias("mode"),
                     )
-                    if p2 == n_cell:
-                        erows.append((root, 1))
-                    if n_cell - p2 >= max_cell_size:
-                        srows.append((root, path * 2, n_cell - p2))
-                    if p2 >= max_cell_size:
-                        srows.append((root, path * 2 + 1, p2))
-                metric_parts.append(spark.createDataFrame(mrows, METRICS_SCHEMA))
-                if srows:
-                    sizes_frames.append(spark.createDataFrame(srows, SIZES_SCHEMA))
-                if erows:
-                    empties_frames.append(spark.createDataFrame(erows, EMPTIES_SCHEMA))
+                )
+                empties_frames.append(
+                    wbest.filter(F.col("part_two") == F.col("n")).select(
+                        "root", F.lit(1).cast("long").alias("n_empty")
+                    )
+                )
+                ch = wbest.select(
+                    "root",
+                    F.explode(
+                        F.array(
+                            F.struct(
+                                (F.col("path") * 2).alias("path"),
+                                (F.col("n") - F.col("part_two"))
+                                .cast("long")
+                                .alias("n"),
+                            ),
+                            F.struct(
+                                (F.col("path") * 2 + 1).alias("path"),
+                                F.col("part_two").cast("long").alias("n"),
+                            ),
+                        )
+                    ).alias("c"),
+                ).select(
+                    "root", F.col("c.path").alias("path"), F.col("c.n").alias("n")
+                )
+                sizes_frames.append(ch.filter(F.col("n") >= max_cell_size))
             else:
                 run_cell_mode(big_df, _make_bisect_kernel(rate), True)
 

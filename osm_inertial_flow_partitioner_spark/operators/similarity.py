@@ -151,3 +151,122 @@ def embedding_near_dup(
         .filter(F.col("sim") >= threshold)
         .select("id1", "id2", "sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path next to LSH. A coarse
+# quantizer (deterministic k-means) splits vectors into C inverted
+# lists; queries probe only the nprobe nearest lists, then rerank
+# exactly inside them. Candidate work drops from O(N) to ~N*nprobe/C
+# per query while the bucket join stays a plain equi-join.
+# ---------------------------------------------------------------------------
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def ivf_train(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd iterations for the IVF coarse quantizer.
+
+    Determinism discipline: a distributed float sum depends on partition
+    merge order, so the centroid mean is computed on 1e-6-quantized
+    INTEGER component sums (exact associative addition; |x|<=100, so
+    even 10^12 rows stay under int64). Init = the vectors of the C
+    smallest ids. Driver traffic is O(C * dim) per iteration."""
+    spark = embeddings.sparkSession
+    emb = embeddings.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    cents = [list(r["v"]) for r in emb.orderBy("_id").limit(n_centroids).collect()]
+    for _ in range(iters):
+        cdf = F.broadcast(
+            spark.createDataFrame(
+                [(i, c) for i, c in enumerate(cents)], "cid int, cvec array<double>"
+            )
+        )
+        w = Window.partitionBy("_id").orderBy(F.col("sim").desc(), F.col("cid").asc())
+        best = (
+            emb.crossJoin(cdf)
+            .withColumn("sim", F.round(cosine(F.col("v"), F.col("cvec")), 9))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+        )
+        comp = (
+            best.select("cid", F.posexplode("v").alias("pos", "val"))
+            .withColumn("q", F.round(F.col("val") * 1e6, 0).cast("long"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
+            .select(
+                "cid", "pos", F.round(F.col("s") / F.col("n") / 1e6, 6).alias("m")
+            )
+        )
+        means: dict[int, dict[int, float]] = {}
+        for r in comp.collect():
+            means.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+        cents = [
+            [means[i][p] for p in range(len(cents[i]))] if i in means else cents[i]
+            for i in range(n_centroids)
+        ]
+    return cents
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """ANN top-k via inverted lists: vectors live in their nearest
+    centroid's list; each query probes its nprobe nearest lists and
+    reranks exactly. nprobe == n_centroids degenerates to brute force
+    (asserted in tests). Same output contract as cosine_topk_brute."""
+    spark = embeddings.sparkSession
+    if centroids is None:
+        centroids = ivf_train(embeddings, n_centroids, iters, id_col, vec_col)
+    cdf = F.broadcast(
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)], "cid int, cvec array<double>"
+        )
+    )
+    wv = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cid").asc())
+    lists = (
+        embeddings.crossJoin(cdf)
+        .withColumn(
+            "csim", F.round(cosine(_as_double(F.col(vec_col)), F.col("cvec")), 9)
+        )
+        .withColumn("crk", F.row_number().over(wv))
+        .filter(F.col("crk") == 1)
+        .select(id_col, vec_col, "cid")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("cid").asc()
+    )
+    probes = (
+        queries.crossJoin(cdf)
+        .withColumn("csim", F.round(cosine(_as_double(F.col("qvec")), F.col("cvec")), 9))
+        .withColumn("crk", F.row_number().over(wq))
+        .filter(F.col("crk") <= nprobe)
+        .select("query_id", "qvec", "cid")
+    )
+    sim = cosine(_as_double(F.col(vec_col)), _as_double(F.col("qvec")))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    return (
+        lists.join(F.broadcast(probes), "cid")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("sim", F.round(sim, 6))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "sim", "rk")
+    )

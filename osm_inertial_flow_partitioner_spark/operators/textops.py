@@ -113,3 +113,35 @@ def document_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(t).alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def corpus_filter(
+    docs: DataFrame,
+    min_tokens: int = 10,
+    min_quality: float = 0.5,
+    lang: str = "en",
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end training-corpus gate — the webtext pipeline composed
+    from its oracle-checked parts: exact dedup (keep the min-doc_id
+    representative per normalized-text hash), then language / token
+    budget / quality thresholds. Returns one row per KEPT document:
+    (doc_id, lang_pred, n_tokens, quality, n_copies).
+
+    Plan shape: two independent single-shuffle aggregations (dedup
+    groupBy, stats are per-row expressions) joined on doc_id — no
+    quadratic stage anywhere; filters are plain Catalyst predicates
+    pushed below the join."""
+    from .dedup import exact_dedup
+
+    reps = exact_dedup(docs, text_col)
+    stats = document_stats(docs, text_col)
+    return (
+        stats.join(reps, "doc_id")
+        .filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("quality") >= min_quality)
+            & (F.col("lang_pred") == lang)
+        )
+        .select("doc_id", "lang_pred", "n_tokens", "quality", "n_copies")
+    )
