@@ -79,3 +79,82 @@ def run_stream_to_staging(
     if once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: streaming sessionization
+# (applyInPandasWithState) — the streaming twin of
+# operators/sessionize.py::sessionize with identical gap semantics.
+# ---------------------------------------------------------------------------
+
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_id long, start_ts long, end_ts long, n_events long"
+)
+SESSION_STATE_SCHEMA = "start long, last long, sid long, n long"
+
+
+def _make_session_fn(gap_sec: int):
+    import pandas as pd
+
+    cols = ["user_id", "session_id", "start_ts", "end_ts", "n_events"]
+
+    def fn(key, pdf_iter, state):
+        user_id = int(key[0])
+        out = []
+        if state.hasTimedOut:
+            start, last, sid, n = state.get
+            out.append((user_id, sid, start, last, n))
+            state.remove()
+        else:
+            ts: list[int] = []
+            for pdf in pdf_iter:
+                ts.extend(int(x) for x in pdf["ts_long"])
+            ts.sort()
+            if state.exists:
+                start, last, sid, n = state.get
+            else:
+                start = last = None
+                sid, n = -1, 0
+            for t in ts:
+                if last is None or t - last > gap_sec:
+                    if last is not None:
+                        out.append((user_id, sid, start, last, n))
+                    sid += 1
+                    start = t
+                    n = 0
+                n += 1
+                last = t
+            state.update((start, last, sid, n))
+            # close the open session once event time passes last + gap
+            state.setTimeoutTimestamp((last + gap_sec) * 1000)
+        yield pd.DataFrame(out, columns=cols)
+
+    return fn
+
+
+def streaming_sessionize(
+    events_stream: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-user session tracking as a CUSTOM STATEFUL streaming operator
+    (applyInPandasWithState, event-time timeout): state carries the open
+    session (start, last, index, count); a micro-batch's events extend
+    or close it, CLOSED sessions are appended downstream, and the open
+    session is flushed when the watermark passes last + gap. Gap
+    semantics match the batch twin (sessionize: new session when
+    gap > gap_minutes), so replaying a static table through the stream
+    yields exactly the batch sessions (asserted in tests)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = events_stream.withWatermark("ts", watermark).select(
+        "user_id", F.col("ts").cast("timestamp").cast("long").alias("ts_long"),
+        F.col("ts"),
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _make_session_fn(gap_minutes * 60),
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

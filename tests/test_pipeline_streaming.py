@@ -126,3 +126,67 @@ def test_streaming_entities_match_batch(spark, pages, tmp_path):
     got = spark.sql("select sum(n_entities) as n from cell_counts").collect()[0]["n"]
     batch_n = extract_entities(pages, res=5).count()
     assert got == batch_n
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """Replaying a static events table through the stateful streaming
+    sessionizer (one availableNow batch) must emit exactly the batch
+    sessions that CLOSE inside the data — i.e. all but each user's last
+    (still-open) session."""
+    import pandas as pd
+
+    from osm_inertial_flow_partitioner_spark.operators.sessionize import sessionize
+    from osm_inertial_flow_partitioner_spark.streaming.incremental import (
+        streaming_sessionize,
+    )
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    eid = 0
+    for user in (1, 2, 3):
+        # 3 sessions per user: gaps of 2h between bursts of 3 events
+        for s in range(3):
+            for k in range(3):
+                ts = (base + pd.Timedelta(hours=2 * s + user, minutes=5 * k)).to_pydatetime()
+                rows.append((eid, ts, user))
+                eid += 1
+    events = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    src = str(tmp_path / "events_src")
+    events.repartition(3).write.parquet(src)
+
+    stream = spark.readStream.schema("event_id long, ts timestamp, user_id long").parquet(src)
+    out = streaming_sessionize(stream, gap_minutes=30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_id"]): (r["start_ts"], r["end_ts"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+
+    batch = sessionize(events, gap_minutes=30).collect()
+    agg = {}
+    for r in batch:
+        key = (r["user_id"], r["session_id"])
+        t = int(r["ts"].timestamp())
+        lo, hi, n = agg.get(key, (t, t, 0))
+        agg[key] = (min(lo, t), max(hi, t), n + 1)
+    last_sid = {}
+    for u, s in agg:
+        last_sid[u] = max(last_sid.get(u, -1), s)
+    # a user's final (open) session is ALSO emitted when the event-time
+    # timeout fires: the global watermark (max event time - 1h) passed
+    # its last_ts + gap
+    watermark = max(hi for (_, hi, _) in agg.values()) - 3600
+    expected = {
+        k: v
+        for k, v in agg.items()
+        if k[1] < last_sid[k[0]] or v[1] + 30 * 60 <= watermark
+    }
+
+    assert got == expected
