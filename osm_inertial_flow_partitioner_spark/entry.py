@@ -47,7 +47,7 @@ from .operators.dedup import (
 )
 from .operators.partitioner import multilevel_partition
 from .operators.sessionize import hourly_rollup, sessionize
-from .operators.similarity import cosine, cosine_topk_brute
+from .operators.similarity import cosine, cosine_topk_brute, cosine_topk_ivf
 from .operators.spatial import (
     knn_lookup_broadcast,
     make_polygons_df,
@@ -558,6 +558,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["ann_cosine_topk"] = ann_cosine_topk
+
+    def ann_cosine_topk_ivf(spark, sf):
+        """IVF inverted-list ANN at FULL probe (nprobe == n_centroids):
+        provably identical to brute force, so the brute-force oracle
+        hard-checks the whole IVF path (train + assign + probe +
+        rerank); reduced-probe recall is covered in pytest."""
+        emb = _t(spark, sf, "embeddings")
+        qv = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        return cosine_topk_ivf(
+            emb, qv, k=5, n_centroids=8, nprobe=8, iters=2, sim_decimals=5
+        )
+
+    q["ann_cosine_topk_ivf"] = ann_cosine_topk_ivf
 
     # ---- event stream (batch twins) ----
     q["events_sessionize"] = lambda spark, sf: sessionize(_t(spark, sf, "events"))
@@ -1470,4 +1485,6 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN only_r o USING (via, from_node)
         """,
     }
+    # full-probe IVF is exactly brute force -> same oracle
+    o["ann_cosine_topk_ivf"] = o["ann_cosine_topk"]
     return {k: v.strip() for k, v in o.items()}

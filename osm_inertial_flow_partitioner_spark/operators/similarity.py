@@ -227,11 +227,14 @@ def cosine_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    sim_decimals: int = 6,
 ) -> DataFrame:
     """ANN top-k via inverted lists: vectors live in their nearest
     centroid's list; each query probes its nprobe nearest lists and
     reranks exactly. nprobe == n_centroids degenerates to brute force
-    (asserted in tests). Same output contract as cosine_topk_brute."""
+    (asserted in tests). Same output contract as cosine_topk_brute;
+    ordering is always on the 6-dp-rounded similarity, the emitted sim
+    rounds the RAW value to ``sim_decimals`` (never double-rounds)."""
     spark = embeddings.sparkSession
     if centroids is None:
         centroids = ivf_train(embeddings, n_centroids, iters, id_col, vec_col)
@@ -261,11 +264,12 @@ def cosine_topk_ivf(
         .select("query_id", "qvec", "cid")
     )
     sim = cosine(_as_double(F.col(vec_col)), _as_double(F.col("qvec")))
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    w = Window.partitionBy("query_id").orderBy(F.col("_s6").desc(), F.col(id_col).asc())
     return (
         lists.join(F.broadcast(probes), "cid")
         .filter(F.col(id_col) != F.col("query_id"))
-        .withColumn("sim", F.round(sim, 6))
+        .withColumn("_s6", F.round(sim, 6))
+        .withColumn("sim", F.round(sim, sim_decimals))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "sim", "rk")
