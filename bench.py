@@ -76,8 +76,12 @@ def main() -> None:
         "dedup_exact",
         "lsh_candidate_pairs",
         "simhash",
+        "simhash_near_dups",
         "text_stats",
+        "corpus_filter",
         "ann_cosine_topk",
+        "ann_cosine_topk_ivf",
+        "geo_segment_project",
         "events_sessionize",
         "events_hourly_rollup",
     ]
