@@ -411,18 +411,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             coord6_nudge((k * 37) % 1200 / 10.0 - 59.95).alias("vlat"),
             coord6_nudge((k * 91) % 3400 / 10.0 - 169.95).alias("vlon"),
         )
-        a, b = pts.alias("a"), pts.alias("b")
-        segs = a.join(
-            b,
-            (F.col("a.line_id") == F.col("b.line_id"))
-            & (F.col("b.seq") == F.col("a.seq") + 1),
-        ).select(
-            F.col("a.line_id").alias("line_id"),
-            F.col("a.seq").alias("seq"),
-            F.col("a.vlat").alias("alat"),
-            F.col("a.vlon").alias("alon"),
-            F.col("b.vlat").alias("blat"),
-            F.col("b.vlon").alias("blon"),
+        # consecutive-vertex pairing via lead() — ONE shuffle on
+        # line_id instead of a self-join (which would recompute and
+        # re-exchange pts per side)
+        ws = Window.partitionBy("line_id").orderBy("seq")
+        segs = (
+            pts.withColumn("blat", F.lead("vlat").over(ws))
+            .withColumn("blon", F.lead("vlon").over(ws))
+            .filter(F.col("blat").isNotNull())
+            .select(
+                "line_id",
+                "seq",
+                F.col("vlat").alias("alat"),
+                F.col("vlon").alias("alon"),
+                "blat",
+                "blon",
+            )
         )
         lid = F.col("line_id")
         qs = pts.select("line_id").distinct().select(

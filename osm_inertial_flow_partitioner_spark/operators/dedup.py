@@ -256,24 +256,26 @@ def simhash64_near_dups(
     a degenerate bucket (mass-identical docs) is the same skew case as
     LSH and takes the same salting remedy."""
     sh = simhash64(docs, text_col)
-    bands = []
-    for b, (col, sh_amt) in enumerate(
-        [("sim_lo", 0), ("sim_lo", 16), ("sim_hi", 0), ("sim_hi", 16)]
-    ):
-        bands.append(
-            sh.select(
-                "doc_id",
-                "sim_hi",
-                "sim_lo",
-                F.lit(b).alias("band"),
-                F.shiftright(F.col(col), sh_amt)
-                .bitwiseAND(F.lit(0xFFFF))
-                .alias("key"),
-            )
-        )
-    stacked = bands[0]
-    for bdf in bands[1:]:
-        stacked = stacked.unionByName(bdf)
+    # posexplode of the 4 band keys — ONE computation of the 64-agg
+    # signature (a 4-way union would recompute the whole aggregation
+    # per branch: 4x the scan and shuffle)
+    band_keys = F.array(
+        *[
+            F.shiftright(F.col(col), sh_amt).bitwiseAND(F.lit(0xFFFF))
+            for col, sh_amt in [
+                ("sim_lo", 0),
+                ("sim_lo", 16),
+                ("sim_hi", 0),
+                ("sim_hi", 16),
+            ]
+        ]
+    )
+    stacked = sh.select(
+        "doc_id",
+        "sim_hi",
+        "sim_lo",
+        F.posexplode(band_keys).alias("band", "key"),
+    )
     a, b_ = stacked.alias("a"), stacked.alias("b")
     ham = F.bit_count(
         F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo"))
