@@ -20,6 +20,48 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def prior_round_best(repo_dir: str, query: str) -> float | None:
+    """Best (min) recorded timing for ``query`` across prior rounds'
+    BENCH_r*.json files, or None if none exist."""
+    import glob
+
+    vals = []
+    for p in sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))):
+        try:
+            with open(p) as f:
+                t = json.load(f).get("queries", {}).get(query)
+            if t is not None:
+                vals.append(float(t))
+        except (OSError, ValueError):
+            continue
+    return min(vals) if vals else None
+
+
+def perf_regression_warning(
+    tile_sec: float,
+    prior_best: float | None,
+    probe_sec: float | None,
+    probe_ref: float | None,
+    factor: float = 1.5,
+) -> str | None:
+    """Guard against silent perf regressions (round-2 postmortem): warn
+    when the flagship exceeds the best prior round by > ``factor`` WHILE
+    the pure-Catalyst probe (q1) is within ``factor`` of its own prior
+    best — i.e. the slowdown is in the code, not VM contention."""
+    if prior_best is None:
+        return None
+    probe_clean = (
+        probe_sec is None or probe_ref is None or probe_sec <= factor * probe_ref
+    )
+    if probe_clean and tile_sec > factor * prior_best:
+        return (
+            f"PERF REGRESSION: tile_pipeline {tile_sec:.1f}s exceeds the best "
+            f"prior round ({prior_best:.1f}s) by >{factor}x while the Catalyst "
+            f"probe is clean — suspect a code/plan change, not VM noise"
+        )
+    return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -97,6 +139,17 @@ def main() -> None:
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    warn = perf_regression_warning(
+        timings["tile_pipeline"],
+        prior_round_best(repo, "tile_pipeline"),
+        timings.get("q1_pricing_summary"),
+        prior_round_best(repo, "q1_pricing_summary"),
+    )
+    if warn:
+        print(warn, file=sys.stderr)
+        extras["perf_warning"] = warn
 
     total = round(sum(timings.values()), 3)
     print(

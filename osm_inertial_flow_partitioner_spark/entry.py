@@ -583,6 +583,102 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_hourly_rollup"] = lambda spark, sf: hourly_rollup(_t(spark, sf, "events"))
 
+    # ---- approximate sketches with tolerance oracles ----
+    # the sketch value itself is engine-specific, so the hash-exact
+    # output carries the EXACT value plus a within_tolerance boolean
+    # computed in-query; the oracle emits TRUE — an out-of-tolerance
+    # sketch therefore fails the hash check, making the approximate
+    # operator genuinely gated
+    def hll_count_distinct(spark, sf):
+        # HLL++ (approx_count_distinct, rsd=5%) vs exact, per event_type;
+        # tolerance = 3*rsd (three-sigma) with a small-count floor
+        ev = _t(spark, sf, "events")
+        return (
+            ev.groupBy("event_type")
+            .agg(
+                F.countDistinct("user_id").alias("n_users_exact"),
+                F.approx_count_distinct("user_id", 0.05).alias("_a"),
+            )
+            .select(
+                "event_type",
+                "n_users_exact",
+                (
+                    F.abs(F.col("_a") - F.col("n_users_exact"))
+                    <= F.greatest(
+                        F.col("n_users_exact") * F.lit(0.15), F.lit(4.0)
+                    )
+                ).alias("within_tolerance"),
+            )
+        )
+
+    q["hll_count_distinct"] = hll_count_distinct
+
+    def approx_quantiles(spark, sf):
+        # percentile_approx (KLL-style) vs exact interpolated percentile,
+        # per event_type; tolerance = 5% of the group's value range
+        ev = _t(spark, sf, "events")
+        ps = [0.25, 0.5, 0.75]
+        aggs = []
+        for i, p in enumerate(ps):
+            aggs.append(F.expr(f"percentile(value, {p})").alias(f"_e{i}"))
+            aggs.append(
+                F.expr(f"percentile_approx(value, {p}, 1000)").alias(f"_a{i}")
+            )
+        aggs += [F.max("value").alias("_mx"), F.min("value").alias("_mn")]
+        g = ev.groupBy("event_type").agg(*aggs)
+        tol = F.greatest((F.col("_mx") - F.col("_mn")) * F.lit(0.05), F.lit(1e-9))
+        ok = F.lit(True)
+        for i in range(len(ps)):
+            ok = ok & (F.abs(F.col(f"_a{i}") - F.col(f"_e{i}")) <= tol)
+        return g.select(
+            "event_type",
+            F.round("_e0", 6).alias("p25"),
+            F.round("_e1", 6).alias("p50"),
+            F.round("_e2", 6).alias("p75"),
+            ok.alias("within_tolerance"),
+        )
+
+    q["approx_quantiles"] = approx_quantiles
+
+    def events_sessionize_stream(spark, sf):
+        # the STATEFUL streaming sessionizer (applyInPandasWithState,
+        # event-time timeout) replayed over the static events table in
+        # one availableNow batch; oracle = the batch gap-sessionization
+        # SQL restricted to sessions the stream emits (closed by a later
+        # session, or flushed because the final watermark passed
+        # last + gap)
+        import tempfile
+        import uuid
+
+        from .streaming.incremental import streaming_sessionize
+
+        src = tempfile.mkdtemp(prefix="sess_stream_src_")
+        (
+            _t(spark, sf, "events")
+            .select("event_id", "ts", "user_id")
+            .coalesce(1)  # one file -> one micro-batch -> in-order replay
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long"
+        ).parquet(src)
+        name = f"sess_stream_{uuid.uuid4().hex[:8]}"
+        sq = (
+            streaming_sessionize(stream, gap_minutes=30, watermark="1 hour")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination(300)
+        out = spark.table(name)
+        # pin the rows (the memory sink dies with the query object)
+        return spark.createDataFrame(out.collect(), out.schema)
+
+    q["events_sessionize_stream"] = events_sessionize_stream
+
     # ---- way-graph construction (reference parse/build phase) ----
     def way_filter(spark, sf):
         return accepted_ways(ways_df(spark)).select(
@@ -1427,6 +1523,45 @@ def oracle_sql() -> dict[str, str]:
                    sum(round(value * 100, 0)::BIGINT)::BIGINT AS sum_value_cents
             FROM events GROUP BY 1, 2
         """,
+        # sketch rows: oracle asserts the EXACT value and claims
+        # within_tolerance = TRUE — if Spark's sketch drifts out of
+        # tolerance the hash check fails (see queries())
+        "hll_count_distinct": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
+                   TRUE AS within_tolerance
+            FROM events GROUP BY 1
+        """,
+        "approx_quantiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.25), 6) AS p25,
+                   round(quantile_cont(value, 0.50), 6) AS p50,
+                   round(quantile_cont(value, 0.75), 6) AS p75,
+                   TRUE AS within_tolerance
+            FROM events GROUP BY 1
+        """,
+        "events_sessionize_stream": """
+            WITH g AS (SELECT user_id, event_id, ts,
+                        CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                               OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                             THEN 1 ELSE 0 END AS is_new
+                       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT user_id, event_id, ts,
+                    (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)::BIGINT
+                      AS session_id
+                  FROM g),
+            a AS (SELECT user_id, session_id,
+                         -- floor: Spark's timestamp->long cast truncates
+                         min(floor(epoch(ts)))::BIGINT AS start_ts,
+                         max(floor(epoch(ts)))::BIGINT AS end_ts,
+                         count(*) AS n_events
+                  FROM s GROUP BY 1, 2),
+            wm AS (SELECT max(end_ts) - 3600 AS w FROM a),
+            mx AS (SELECT user_id, max(session_id) AS last_sid FROM a GROUP BY 1)
+            SELECT a.user_id, a.session_id, a.start_ts, a.end_ts, a.n_events
+            FROM a JOIN mx USING (user_id), wm
+            WHERE a.session_id < mx.last_sid OR a.end_ts + 1800 <= wm.w
+        """,
         "way_filter": f"""
             WITH {_way_cte()}
             SELECT way_id, highway, len(nodes)::BIGINT AS n_nodes FROM aw
@@ -1464,7 +1599,11 @@ def oracle_sql() -> dict[str, str]:
               (6, 0, 0, 2, '?o}@n}@?'),
               (8, 0, 0, 2, 'o}@w|An}@g^'),
               (8, 1, 0, 2, '?_|Bn}@g^'),
-              (10, 0, 0, 2, '_pR??gE?gw@')
+              (10, 0, 0, 2, '_pR??gE?gw@'),
+              (11, 0, 0, 2, '_af@??o}@'),
+              (12, 0, 0, 2, '_af@o}@?o}@'),
+              (13, 0, 0, 2, '_af@_|B?o}@'),
+              (14, 0, 0, 2, '_af@ozD?o}@')
             ) AS t(way_id, seg, lpart, n_simplified, polyline)
         """,
         "turn_table": f"""

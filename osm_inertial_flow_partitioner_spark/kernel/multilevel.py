@@ -88,6 +88,52 @@ def multilevel_partition_local(
     return assign, num_cells, stats
 
 
+def multilevel_finish_local(
+    vertex_ids: np.ndarray,
+    lat_by_vertex,
+    lon_by_vertex,
+    tails: np.ndarray,
+    heads: np.ndarray,
+    cell_sizes_desc: list[int],
+    rate: float = SOURCE_SINK_RATE,
+) -> list[list[np.ndarray]]:
+    """Complete the recursion for ONE entering cell across all remaining
+    levels in a single local pass (the multi-level local finish: one
+    distributed cogroup instead of one per level).
+
+    ``cell_sizes_desc`` lists the remaining levels' max cell sizes from
+    the current level DOWN to level 0 (e.g. [U_2, U_1, U_0]). Per level,
+    per parent: ``recursive_bisection`` already emits children in the
+    frozen relabel order (non-empty by min original vertex id, then
+    empties — SURVEY.md §7), and an EMPTY parent contributes 2 empty
+    children in place (Partition on an empty graph,
+    multilevel_partitioner.go:59-68); concatenating children in parent
+    order therefore reproduces ``multilevel_partition_local``'s (and the
+    distributed relabel's) numbering exactly, offset by the count of
+    cells in preceding entering cells (added by the Spark driver).
+
+    Returns one list of cells (ascending-id arrays; empty arrays are
+    empty cells) per level, in ``cell_sizes_desc`` order.
+    """
+    cells = [np.sort(np.asarray(vertex_ids, dtype=np.int64))]
+    per_level: list[list[np.ndarray]] = []
+    for u in cell_sizes_desc:
+        new_cells: list[np.ndarray] = []
+        for cell in cells:
+            if len(cell) == 0:
+                new_cells.extend(
+                    [np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)]
+                )
+            else:
+                res = recursive_bisection(
+                    cell, lat_by_vertex, lon_by_vertex, tails, heads, u, rate
+                )
+                new_cells.extend(res.cells)
+        per_level.append(new_cells)
+        cells = new_cells
+    return per_level
+
+
 def pv_offsets(num_cells: list[int]) -> list[int]:
     """pvOffset per io_writer.go:54-57; ceil(log2(1)) == 0 bits."""
     off = [0]

@@ -76,12 +76,14 @@ def lsh_candidate_pairs(
     (band, bucket) holding d docs emits d^2 join rows, and a
     mass-duplicated document (boilerplate pages at CC scale) creates one
     bucket with d ~ millions. Buckets with > bucket_cap docs are
-    EXCLUDED from the pairwise join — their members are, by
-    construction, near-identical at the full-signature level, so the
-    production pipeline routes them through ``lsh_dup_groups`` (one
-    group row per bucket, linear output) instead of quadratic pair
-    expansion. The oracle row runs uncapped (cap semantics are tested
-    with a planted hot bucket in pytest)."""
+    EXCLUDED from the pairwise join. This is a RECALL TRADE-OFF, not
+    lossless routing: a hot bucket only certifies agreement on that ONE
+    band (num_perm/bands hashes). ``lsh_dup_groups`` recovers the
+    dominant case (exact full-signature duplicates — boilerplate — as
+    one linear row per group), but near-dups whose only collision was
+    the capped bucket are lost; raise bucket_cap or add bands to trade
+    compute for recall. The oracle row runs uncapped (cap semantics are
+    tested with a planted hot bucket in pytest)."""
     assert num_perm % bands == 0
     rows = num_perm // bands
     sigs = minhash_signatures(docs, num_perm, text_col, seed)

@@ -26,11 +26,23 @@ MEDIA_SCHEMA = (
 )
 FEATURE_DIM = 16
 
+# capability flag: a REAL image decoder is used when PIL is importable
+# AND the caller opts in (real_decode=True). In codec-less runtimes the
+# deterministic stub keeps the full Spark plumbing testable; the DuckDB
+# oracle row always runs the stub path (the oracle can't decode images).
+try:  # pragma: no cover - environment-dependent
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:  # this container has no PIL
+    _PILImage = None
+    HAS_PIL = False
+
 
 def _fake_decode(payload: bytes) -> np.ndarray:
     """DETERMINISTIC FAKE standing in for a real image/audio decoder —
-    derives a pseudo-pixel array from the payload bytes. Replace with
-    PIL.Image.open / soundfile.read in a codec-enabled runtime."""
+    derives a pseudo-pixel array from the payload bytes. The real path
+    (``decode_image(..., real=True)``) goes through PIL when present."""
     arr = np.frombuffer(payload, dtype=np.uint8)
     if len(arr) == 0:
         arr = np.zeros(1, dtype=np.uint8)
@@ -38,15 +50,39 @@ def _fake_decode(payload: bytes) -> np.ndarray:
     return np.tile(arr, reps)[:256].astype(np.float32).reshape(16, 16)
 
 
-def extract_features(media: DataFrame) -> DataFrame:
+def _pil_decode(payload: bytes) -> np.ndarray:
+    """Real decoder: grayscale 16x16 via PIL — same output contract as
+    the stub (float32 (16, 16)), so every downstream operator is
+    identical on both paths."""
+    import io
+
+    img = _PILImage.open(io.BytesIO(payload)).convert("L").resize((16, 16))
+    return np.asarray(img, dtype=np.float32)
+
+
+def decode_image(payload: bytes, real: bool = False) -> np.ndarray:
+    """Single decode chokepoint. ``real=True`` requires PIL; raises
+    NotImplementedError (loudly, not silently wrong) if absent."""
+    if real:
+        if not HAS_PIL:
+            raise NotImplementedError(
+                "real image decode requested but PIL is not installed; "
+                "install pillow or use the deterministic stub (real=False)"
+            )
+        return _pil_decode(payload)
+    return _fake_decode(payload)
+
+
+def extract_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
     """binary payload -> fixed-dim feature vector (mean-pooled rows of
-    the fake-decoded array). Real plumbing: Arrow-batched mapInPandas,
-    array<float> output column."""
+    the decoded array). Real plumbing: Arrow-batched mapInPandas,
+    array<float> output column; ``real_decode`` flips the chokepoint to
+    PIL (capability-gated, see module docstring)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _fake_decode(p).mean(axis=1)[:FEATURE_DIM].tolist()
+                decode_image(p, real_decode).mean(axis=1)[:FEATURE_DIM].tolist()
                 for p in pdf["payload"]
             ]
             yield pd.DataFrame(

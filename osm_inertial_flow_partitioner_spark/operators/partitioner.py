@@ -74,6 +74,10 @@ DIR_OUT_SCHEMA = (
 
 CC_OUT_SCHEMA = "root long, path long, vertex_id long, comp long"
 
+ML_FINISH_SCHEMA = (
+    "root long, level int, local_cell long, vertex_id long, n_cells long"
+)
+
 ASSIGN_SCHEMA = "root long, path long, vertex_id long, lat double, lon double"
 SIZES_SCHEMA = "root long, path long, n long"
 EMPTIES_SCHEMA = "root long, n_empty long"
@@ -143,6 +147,47 @@ def _make_finish_kernel(max_cell_size: int, rate: float):
                     }
                 )
             )
+        return pd.concat(frames, ignore_index=True)
+
+    return kernel
+
+
+def _make_multilevel_finish_kernel(levels_desc: list[int], cell_sizes_desc: list[int], rate: float):
+    """Multi-level local finish: ONE task completes every remaining
+    level for one entering cell (kernel/multilevel.py::
+    multilevel_finish_local) — collapsing L_f per-level distributed
+    passes into a single cogroup. Emits long-form
+    (root, level, local_cell, vertex_id, n_cells) where local_cell is
+    the frozen within-root numbering and n_cells the root's total cell
+    count at that level INCLUDING empties (the driver turns these into
+    global ids with a per-level prefix sum over roots)."""
+    from ..kernel.multilevel import multilevel_finish_local
+
+    def kernel(key, vdf: pd.DataFrame, edf: pd.DataFrame) -> pd.DataFrame:
+        root = int(key[0])
+        ids, lat, lon, tails, heads = _sorted_cell_arrays(vdf, edf)
+        la = dict(zip(ids.tolist(), lat.tolist()))
+        lo = dict(zip(ids.tolist(), lon.tolist()))
+        per_level = multilevel_finish_local(
+            ids, la, lo, tails, heads, cell_sizes_desc, rate
+        )
+        frames = []
+        for li, cells in enumerate(per_level):
+            n_cells = len(cells)
+            for cid, cell in enumerate(cells):
+                if len(cell) == 0:
+                    continue
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "root": np.int64(root),
+                            "level": np.int32(levels_desc[li]),
+                            "local_cell": np.int64(cid),
+                            "vertex_id": cell,
+                            "n_cells": np.int64(n_cells),
+                        }
+                    )
+                )
         return pd.concat(frames, ignore_index=True)
 
     return kernel
@@ -504,25 +549,27 @@ def _run_level(
                 )
                 act = assign.join(kdf, ["root", "path"], "inner")
                 e_act = _label_edges(edges, act)
-                # the CC pass exists ONLY for task fan-out (per-component
-                # min-cuts union exactly — see _make_direction_kernel).
-                # Once the 10 direction jobs per cell already saturate
-                # the cluster, skip it: one less Python pass + two fewer
-                # joins per round, identical results (comp = 0 puts the
-                # whole cell in one group).
-                use_cc = n_big * 10 < parallelism
-                if use_cc:
-                    cc = (
-                        act.groupBy("root", "path")
-                        .cogroup(e_act.groupBy("root", "path"))
-                        .applyInPandas(_cc_kernel, schema=CC_OUT_SCHEMA)
-                        .persist()
-                    )
-                    to_unpersist.append(cc)
-                    if os.environ.get("TILER_DEBUG"):
-                        _t = time.time()
-                        cc.count()
-                        print(f"[tiler]   cc pass took {time.time() - _t:.1f}s", flush=True)
+                # ALWAYS decompose by connected component here. The CC
+                # pass is not just task fan-out: min-cut cost grows
+                # superlinearly with subgraph size, so running Dinic /
+                # push-relabel per component is fundamentally cheaper
+                # than one full-cell run even when the (cell x direction)
+                # tasks already saturate the cluster. (Round-2 lesson:
+                # gating this on task count — `n_big * 10 < parallelism`
+                # — caused a 2.5x flagship regression the moment 4 big
+                # cells were active; the one cogroup pass + two joins it
+                # saves are noise next to the kernel time it costs.)
+                cc = (
+                    act.groupBy("root", "path")
+                    .cogroup(e_act.groupBy("root", "path"))
+                    .applyInPandas(_cc_kernel, schema=CC_OUT_SCHEMA)
+                    .persist()
+                )
+                to_unpersist.append(cc)
+                if os.environ.get("TILER_DEBUG"):
+                    _t = time.time()
+                    cc.count()
+                    print(f"[tiler]   cc pass took {time.time() - _t:.1f}s", flush=True)
 
                 def _jobs():  # fresh frame each use (self-join ambiguity)
                     return spark.createDataFrame(
@@ -564,41 +611,27 @@ def _run_level(
                         .otherwise(F.lit("non")),
                     )
                 )
-                if use_cc:
-                    act10 = act10.join(cc, ["root", "path", "vertex_id"])
-                else:
-                    act10 = act10.withColumn("comp", F.lit(0).cast("long"))
-                act10 = act10.select(
+                act10 = act10.join(cc, ["root", "path", "vertex_id"]).select(
                     "root", "path", "comp", "job", "vertex_id",
                     "lat", "lon", "rn", "role",
                 )
-                if use_cc:
-                    # re-alias every column (fresh expr ids) — cc feeds
-                    # both cogroup sides and would otherwise trip the
-                    # ambiguous self-join check
-                    cc_e = cc.select(
-                        F.col("root").alias("root"),
-                        F.col("path").alias("path"),
-                        F.col("vertex_id").alias("tail"),
-                        F.col("comp").alias("comp"),
+                # re-alias every column (fresh expr ids) — cc feeds
+                # both cogroup sides and would otherwise trip the
+                # ambiguous self-join check
+                cc_e = cc.select(
+                    F.col("root").alias("root"),
+                    F.col("path").alias("path"),
+                    F.col("vertex_id").alias("tail"),
+                    F.col("comp").alias("comp"),
+                )
+                e10 = (
+                    e_act.join(cc_e, ["root", "path", "tail"])
+                    .crossJoin(F.broadcast(_jobs()))
+                    .select(
+                        "root", "path", "comp", "job",
+                        "edge_id", "tail", "head",
                     )
-                    e10 = (
-                        e_act.join(cc_e, ["root", "path", "tail"])
-                        .crossJoin(F.broadcast(_jobs()))
-                        .select(
-                            "root", "path", "comp", "job",
-                            "edge_id", "tail", "head",
-                        )
-                    )
-                else:
-                    e10 = (
-                        e_act.withColumn("comp", F.lit(0).cast("long"))
-                        .crossJoin(F.broadcast(_jobs()))
-                        .select(
-                            "root", "path", "comp", "job",
-                            "edge_id", "tail", "head",
-                        )
-                    )
+                )
                 out = (
                     act10.groupBy("root", "path", "comp", "job")
                     .cogroup(e10.groupBy("root", "path", "comp", "job"))
@@ -611,11 +644,20 @@ def _run_level(
                     out.count()
                     print(f"[tiler]   direction kernel took {time.time() - _t:.1f}s", flush=True)
                 # frozen argmin (cut, balance, job) per cell (SURVEY.md
-                # §7) — DISTRIBUTED via lexicographic struct-min (all
-                # integer fields, exact), so the round needs NO driver
-                # collect over per-job metrics: the single per-round
-                # action (the assignment localCheckpoint below) computes
-                # kernels, winners and children in one job.
+                # §7) — the per-cell reduction runs DISTRIBUTED via
+                # lexicographic struct-min (all integer fields, exact);
+                # the winner set is then COLLECTED (bounded: <= active
+                # cells < parallelism rows BY CONSTRUCTION) and the
+                # tiny control frames (sizes/metrics/empties) rebuilt
+                # from literal rows. Round-2 lesson: deriving those
+                # frames LAZILY from this plan chains the crossJoin
+                # lineage across rounds, and Catalyst's sizeInBytes
+                # stats (a PRODUCT over join children) compound into
+                # BigIntegers with thousands of digits — the driver
+                # then spends MINUTES per round in BigInteger.multiply
+                # during planning. Literal rows cut the lineage; the
+                # one collect job runs against the persisted kernel
+                # output and is O(active) rows.
                 per_job = (
                     out.groupBy("root", "path", "comp", "job")
                     .agg(
@@ -654,7 +696,18 @@ def _run_level(
                         F.col("b.n").alias("n"),
                     )
                 )
-                wdf = F.broadcast(wbest.select("root", "path", "job"))
+                wrows = wbest.collect()  # bounded by parallelism
+                if os.environ.get("TILER_DEBUG"):
+                    print(
+                        f"[tiler]   argmin collected {len(wrows)} winners",
+                        flush=True,
+                    )
+                wdf = F.broadcast(
+                    spark.createDataFrame(
+                        [(int(r["root"]), int(r["path"]), int(r["job"])) for r in wrows],
+                        "root long, path long, job int",
+                    )
+                )
                 chosen = out.join(wdf, ["root", "path", "job"], "inner")
                 frames.append(
                     chosen.select(
@@ -665,47 +718,28 @@ def _run_level(
                         "lon",
                     )
                 )
-                metric_parts.append(
-                    wbest.select(
-                        F.lit(level).cast("int").alias("level"),
-                        F.lit(rnd).cast("int").alias("round"),
-                        "root",
-                        F.col("path").alias("parent_path"),
-                        F.col("n").cast("int").alias("n"),
-                        F.col("cut_edges").cast("int").alias("cut_edges"),
-                        F.col("part_two").cast("int").alias("part_two"),
-                        F.col("job").cast("int").alias("best_job"),
-                        (F.col("part_two") == F.col("n"))
-                        .cast("int")
-                        .alias("n_empty"),
-                        F.lit("direction").alias("mode"),
-                    )
-                )
-                empties_frames.append(
-                    wbest.filter(F.col("part_two") == F.col("n")).select(
-                        "root", F.lit(1).cast("long").alias("n_empty")
-                    )
-                )
-                ch = wbest.select(
-                    "root",
-                    F.explode(
-                        F.array(
-                            F.struct(
-                                (F.col("path") * 2).alias("path"),
-                                (F.col("n") - F.col("part_two"))
-                                .cast("long")
-                                .alias("n"),
-                            ),
-                            F.struct(
-                                (F.col("path") * 2 + 1).alias("path"),
-                                F.col("part_two").cast("long").alias("n"),
-                            ),
+                mrows, srows, erows = [], [], []
+                for r in wrows:
+                    root, path = int(r["root"]), int(r["path"])
+                    n_cell, p2 = int(r["n"]), int(r["part_two"])
+                    mrows.append(
+                        (
+                            level, rnd, root, path, n_cell, int(r["cut_edges"]),
+                            p2, int(r["job"]), 1 if p2 == n_cell else 0,
+                            "direction",
                         )
-                    ).alias("c"),
-                ).select(
-                    "root", F.col("c.path").alias("path"), F.col("c.n").alias("n")
-                )
-                sizes_frames.append(ch.filter(F.col("n") >= max_cell_size))
+                    )
+                    if p2 == n_cell:
+                        erows.append((root, 1))
+                    if n_cell - p2 >= max_cell_size:
+                        srows.append((root, path * 2, n_cell - p2))
+                    if p2 >= max_cell_size:
+                        srows.append((root, path * 2 + 1, p2))
+                metric_parts.append(spark.createDataFrame(mrows, METRICS_SCHEMA))
+                if srows:
+                    sizes_frames.append(spark.createDataFrame(srows, SIZES_SCHEMA))
+                if erows:
+                    empties_frames.append(spark.createDataFrame(erows, EMPTIES_SCHEMA))
             else:
                 run_cell_mode(big_df, _make_bisect_kernel(rate), True)
 
@@ -896,6 +930,57 @@ def multilevel_partition(
     current = labeled
     for level in range(L - 2, -1, -1):
         u = cell_sizes[level]
+        # multi-level local finish: once EVERY entering cell fits the
+        # local-recursion threshold, one cogroup pass completes ALL
+        # remaining levels (each task runs the full lower recursion for
+        # one cell) instead of one distributed pass + relabel per level.
+        # Disabled under checkpointing (snapshots are per (level, round)
+        # and the collapsed pass has neither).
+        mx_row = level_sizes.groupBy().agg(F.max("n").alias("mx")).first()
+        mx = int(mx_row["mx"]) if mx_row["mx"] is not None else 0
+        if checkpoint is None and 0 < mx < local_recursion_threshold:
+            lvls = list(range(level, -1, -1))
+            sizes_desc = [cell_sizes[l] for l in lvls]
+            a0 = current.select(
+                "vertex_id", "lat", "lon",
+                F.col("cell_id").alias("root"),
+                F.lit(1).cast("long").alias("path"),
+            )
+            e_act = _label_edges(edges, a0)
+            out = (
+                a0.groupBy("root", "path")
+                .cogroup(e_act.groupBy("root", "path"))
+                .applyInPandas(
+                    _make_multilevel_finish_kernel(lvls, sizes_desc, rate),
+                    schema=ML_FINISH_SCHEMA,
+                )
+                .localCheckpoint(eager=True)
+            )
+            for li, lvl in enumerate(lvls):
+                lvl_df = out.filter(F.col("level") == lvl)
+                meta = lvl_df.groupBy("root").agg(
+                    F.first("n_cells").alias("total")
+                )
+                # entering-empty cells double per level ("2 empty
+                # children in place"): 2^(li+1) id slots at depth li+1
+                roots = meta.unionByName(
+                    empty_cells.select(
+                        "root",
+                        F.lit(int(2 ** (li + 1))).cast("long").alias("total"),
+                    )
+                )
+                roots, total_cells = _exclusive_cumsum_by_key(
+                    roots, "root", "total", "offset"
+                )
+                num_cells[lvl] = int(total_cells)
+                level_frames.append(
+                    lvl_df.join(roots.select("root", "offset"), "root").select(
+                        "vertex_id",
+                        F.lit(lvl).alias("level"),
+                        (F.col("offset") + F.col("local_cell")).alias("cell_id"),
+                    )
+                )
+            break
         a0 = current.select(
             "vertex_id",
             "lat",

@@ -185,18 +185,30 @@ def ivf_train(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("v")
     )
     cents = [list(r["v"]) for r in emb.orderBy("_id").limit(n_centroids).collect()]
+    # degrade gracefully when the table has fewer rows than requested
+    # centroids (ADVICE r2): train what exists instead of IndexError
+    n_centroids = len(cents)
     for _ in range(iters):
         cdf = F.broadcast(
             spark.createDataFrame(
                 [(i, c) for i, c in enumerate(cents)], "cid int, cvec array<double>"
             )
         )
-        w = Window.partitionBy("_id").orderBy(F.col("sim").desc(), F.col("cid").asc())
+        # nearest-centroid assignment as a HASH-AGG struct-min (sim desc,
+        # cid asc via negated sim — exact on the 9-dp-rounded double), not
+        # a row_number window: no per-_id sort at 10^9-vector scale. All
+        # rows of a group share v, so first(v) is deterministic.
         best = (
             emb.crossJoin(cdf)
             .withColumn("sim", F.round(cosine(F.col("v"), F.col("cvec")), 9))
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
+            .groupBy("_id")
+            .agg(
+                F.min(
+                    F.struct((-F.col("sim")).alias("ns"), F.col("cid").alias("cid"))
+                ).alias("b"),
+                F.first("v").alias("v"),
+            )
+            .select("_id", F.col("b.cid").alias("cid"), "v")
         )
         comp = (
             best.select("cid", F.posexplode("v").alias("pos", "val"))
@@ -243,15 +255,21 @@ def cosine_topk_ivf(
             [(i, c) for i, c in enumerate(centroids)], "cid int, cvec array<double>"
         )
     )
-    wv = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cid").asc())
+    # inverted-list assignment via hash-agg struct-min (see ivf_train):
+    # one aggregation, no per-vector sort window
     lists = (
         embeddings.crossJoin(cdf)
         .withColumn(
             "csim", F.round(cosine(_as_double(F.col(vec_col)), F.col("cvec")), 9)
         )
-        .withColumn("crk", F.row_number().over(wv))
-        .filter(F.col("crk") == 1)
-        .select(id_col, vec_col, "cid")
+        .groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct((-F.col("csim")).alias("ns"), F.col("cid").alias("cid"))
+            ).alias("b"),
+            F.first(vec_col).alias(vec_col),
+        )
+        .select(id_col, vec_col, F.col("b.cid").alias("cid"))
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("csim").desc(), F.col("cid").asc()

@@ -84,6 +84,16 @@ def _ray_cast(
         idx = np.flatnonzero(bids == b)
         ry = np.asarray(ring_lat.iloc[idx[0]], dtype=np.float64)
         rx = np.asarray(ring_lon.iloc[idx[0]], dtype=np.float64)
+        # the ring arrays are taken from the group's first row, which is
+        # only sound if boundary_id identifies ONE ring; guard against a
+        # future multipolygon dim silently producing wrong containment
+        grp = ring_lat.iloc[idx]
+        assert (grp.str.len() == len(ry)).all() and (
+            grp.str[0] == ry[0]
+        ).all(), (
+            f"boundary_id {b} maps to multiple distinct rings; "
+            "use one row per ring with a distinct ring key"
+        )
         x, y = lo[idx], la[idx]
         acc = np.zeros(len(idx), dtype=np.int64)
         for j in range(len(rx) - 1):

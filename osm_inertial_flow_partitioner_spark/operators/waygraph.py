@@ -34,20 +34,25 @@ from pyspark.sql import functions as F
 
 from ..functions.geo import haversine_km
 
-# osm_parser2.go:108-130 (abridged to classes used by fixtures)
+# osm_parser2.go:108-130 — the FULL reference allowlist (21 classes)
 ACCEPTED_HIGHWAY = [
-    "motorway", "trunk", "primary", "secondary", "tertiary", "residential",
-    "unclassified", "service", "living_street", "road",
-    "motorway_link", "trunk_link", "primary_link", "secondary_link",
+    "motorway", "motorway_link", "trunk", "trunk_link",
+    "primary", "primary_link", "secondary", "secondary_link",
+    "residential", "residential_link", "service",
+    "tertiary", "tertiary_link", "road", "track",
+    "unclassified", "undefined", "unknown", "living_street",
+    "private", "motorroad",
 ]
 
-# roadTypeMaxSpeed2 (osm_parser2.go:1010-1049), km/h fallbacks
+# roadTypeMaxSpeed2 (osm_parser2.go:1010-1049), km/h fallbacks — exact
+# reference values; classes absent from the switch (residential_link,
+# undefined, unknown, private) take the default 30 in parse_speed
 DEFAULT_SPEED = {
-    "motorway": 100.0, "trunk": 80.0, "primary": 60.0, "secondary": 50.0,
-    "tertiary": 40.0, "residential": 30.0, "unclassified": 30.0,
-    "service": 20.0, "living_street": 10.0, "road": 30.0,
-    "motorway_link": 60.0, "trunk_link": 50.0, "primary_link": 40.0,
-    "secondary_link": 30.0,
+    "motorway": 100.0, "trunk": 70.0, "primary": 65.0, "secondary": 60.0,
+    "tertiary": 50.0, "unclassified": 40.0, "residential": 30.0,
+    "service": 20.0, "motorway_link": 70.0, "trunk_link": 65.0,
+    "primary_link": 60.0, "secondary_link": 50.0, "tertiary_link": 40.0,
+    "living_street": 5.0, "road": 20.0, "track": 15.0, "motorroad": 90.0,
 }
 
 BARRIER_KINDS = ["bollard", "swing_gate", "jersey_barrier", "lift_gate", "block", "gate"]

@@ -20,6 +20,13 @@ WAYS = [
     (7, "unclassified", None, None, None, [12]),        # too few nodes
     (8, "trunk", None, None, None, [14, 3, 15]),        # makes node 3 a junction
     (10, "residential", None, None, None, [16, 17, 18]),  # interior signal node 17
+    # full-allowlist classes (osm_parser2.go:108-130): track 15 km/h,
+    # private (not in roadTypeMaxSpeed2 -> default 30), motorroad 90,
+    # residential_link (default 30); `private` also parses maxspeed
+    (11, "track", None, None, None, [19, 20]),
+    (12, "private", None, None, "60", [20, 21]),
+    (13, "motorroad", None, None, None, [21, 22]),
+    (14, "residential_link", None, None, None, [22, 23]),
 ]
 
 # (node_id, lat, lon, barrier, access, signal)
@@ -42,6 +49,11 @@ NODES = [
     (16, 0.1, 0.0, None, None, False),
     (17, 0.1, 0.001, None, None, True),   # interior traffic light, close to 16
     (18, 0.1, 0.01, None, None, False),
+    (19, 0.2, 0.0, None, None, False),
+    (20, 0.2, 0.01, None, None, False),
+    (21, 0.2, 0.02, None, None, False),
+    (22, 0.2, 0.03, None, None, False),
+    (23, 0.2, 0.04, None, None, False),
 ]
 
 WAYS_SCHEMA = (

@@ -93,7 +93,7 @@ SESSION_OUT_SCHEMA = (
 SESSION_STATE_SCHEMA = "start long, last long, sid long, n long"
 
 
-def _make_session_fn(gap_sec: int):
+def _make_session_fn(gap_sec: int, state_ttl_sec: int):
     import pandas as pd
 
     cols = ["user_id", "session_id", "start_ts", "end_ts", "n_events"]
@@ -103,8 +103,26 @@ def _make_session_fn(gap_sec: int):
         out = []
         if state.hasTimedOut:
             start, last, sid, n = state.get
-            out.append((user_id, sid, start, last, n))
-            state.remove()
+            if n > 0:
+                # flush the open session, but KEEP the per-user session
+                # counter in a sentinel state (start=-1) so the next
+                # session continues the monotone numbering instead of
+                # restarting at 0 (duplicate keys downstream). The
+                # sentinel itself expires after state_ttl_sec of
+                # inactivity — bounded state, numbering survives any
+                # quiet gap shorter than the TTL.
+                out.append((user_id, sid, start, last, n))
+                ttl_ms = (last + gap_sec + state_ttl_sec) * 1000
+                if ttl_ms <= state.getCurrentWatermarkMs():
+                    # the TTL already elapsed by the time the timeout
+                    # fired (user idle > TTL) — expire the counter now;
+                    # a timeout timestamp below the watermark is invalid
+                    state.remove()
+                else:
+                    state.update((-1, last, sid, 0))
+                    state.setTimeoutTimestamp(ttl_ms)
+            else:
+                state.remove()
         else:
             ts: list[int] = []
             for pdf in pdf_iter:
@@ -112,6 +130,8 @@ def _make_session_fn(gap_sec: int):
             ts.sort()
             if state.exists:
                 start, last, sid, n = state.get
+                if start == -1:  # sentinel: counter only, no open session
+                    start = last = None
             else:
                 start = last = None
                 sid, n = -1, 0
@@ -136,15 +156,26 @@ def streaming_sessionize(
     events_stream: DataFrame,
     gap_minutes: int = 30,
     watermark: str = "1 hour",
+    state_ttl_minutes: int = 24 * 60,
 ) -> DataFrame:
     """Per-user session tracking as a CUSTOM STATEFUL streaming operator
     (applyInPandasWithState, event-time timeout): state carries the open
     session (start, last, index, count); a micro-batch's events extend
     or close it, CLOSED sessions are appended downstream, and the open
-    session is flushed when the watermark passes last + gap. Gap
-    semantics match the batch twin (sessionize: new session when
-    gap > gap_minutes), so replaying a static table through the stream
-    yields exactly the batch sessions (asserted in tests)."""
+    session is flushed when the watermark passes last + gap. After a
+    flush the per-user session counter survives in a sentinel state for
+    ``state_ttl_minutes`` of event-time inactivity, so session_id stays
+    monotone across timeouts (no duplicate (user_id, session_id) keys);
+    only after the TTL does the numbering restart at 0.
+
+    Parity scope: replaying a static table IN EVENT-TIME ORDER (e.g. a
+    single availableNow batch, or time-ordered micro-batches) yields
+    exactly the batch twin's sessions (asserted in tests). An
+    out-of-order event that arrives in a LATER micro-batch with
+    ts < state.last but above the watermark is absorbed into the open
+    session (last moves back), which can differ from the batch global
+    sort — the standard streaming trade-off; tighten the watermark to
+    bound it."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     ev = events_stream.withWatermark("ts", watermark).select(
@@ -152,7 +183,7 @@ def streaming_sessionize(
         F.col("ts"),
     )
     return ev.groupBy("user_id").applyInPandasWithState(
-        _make_session_fn(gap_minutes * 60),
+        _make_session_fn(gap_minutes * 60, state_ttl_minutes * 60),
         outputStructType=SESSION_OUT_SCHEMA,
         stateStructType=SESSION_STATE_SCHEMA,
         outputMode="append",

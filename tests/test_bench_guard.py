@@ -1,0 +1,38 @@
+"""The bench.py silent-perf-regression guard (round-2 postmortem: a
+2.5x flagship regression shipped because slow runs were misattributed
+to VM contention)."""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import perf_regression_warning, prior_round_best
+
+
+def test_warns_on_planted_regression_with_clean_probe():
+    # flagship 3x slower, probe unchanged -> code regression, must warn
+    w = perf_regression_warning(300.0, 100.0, 2.0, 2.0)
+    assert w is not None and "PERF REGRESSION" in w
+
+
+def test_silent_when_probe_shows_contention():
+    # flagship 3x slower but the pure-Catalyst probe is ALSO 3x slower
+    # -> VM contention, not a code change
+    assert perf_regression_warning(300.0, 100.0, 6.0, 2.0) is None
+
+
+def test_silent_within_band_and_without_history():
+    assert perf_regression_warning(140.0, 100.0, 2.0, 2.0) is None
+    assert perf_regression_warning(1000.0, None, 2.0, 2.0) is None
+
+
+def test_prior_round_best_reads_bench_files(tmp_path):
+    for i, t in enumerate([123.4, 304.8]):
+        (tmp_path / f"BENCH_r{i:02d}.json").write_text(
+            json.dumps({"queries": {"tile_pipeline": t, "q1_pricing_summary": 2.0 + i}})
+        )
+    assert prior_round_best(str(tmp_path), "tile_pipeline") == 123.4
+    assert prior_round_best(str(tmp_path), "q1_pricing_summary") == 2.0
+    assert prior_round_best(str(tmp_path), "missing") is None

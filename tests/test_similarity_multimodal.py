@@ -122,6 +122,42 @@ def test_multimodal_feature_plumbing(media):
     }
 
 
+def test_real_decode_raises_without_pil():
+    from osm_inertial_flow_partitioner_spark.operators import multimodal
+
+    if multimodal.HAS_PIL:
+        pytest.skip("PIL present; covered by test_real_decode_with_pil")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x00" * 16, real=True)
+
+
+def test_real_decode_with_pil(media):
+    """PIL path: same (16, 16) float32 contract as the stub, end-to-end
+    through the Spark mapInPandas plumbing."""
+    from osm_inertial_flow_partitioner_spark.operators import multimodal
+
+    if not multimodal.HAS_PIL:
+        pytest.skip("PIL not installed in this runtime")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(np.arange(64, dtype=np.uint8).reshape(8, 8)).save(
+        buf, format="PNG"
+    )
+    arr = multimodal.decode_image(buf.getvalue(), real=True)
+    assert arr.shape == (16, 16) and arr.dtype == np.float32
+    png_media = media.sparkSession.createDataFrame(
+        [(1, "image", buf.getvalue(), 8, 8, 0)],
+        "media_id long, kind string, payload binary, width int, "
+        "height int, duration_ms int",
+    )
+    feats = extract_features(png_media, real_decode=True).collect()
+    assert len(feats) == 1 and len(feats[0]["features"]) == 16
+
+
 def test_multimodal_resize_and_frames(media):
     rs = resize_stub(media, 4, 4)
     assert rs.filter((F.col("width") != 4) | (F.col("height") != 4)).count() == 0
