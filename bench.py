@@ -84,6 +84,11 @@ def main() -> None:
     # O(log) serial bisection prefix — the regime the engine targets —
     # while keeping a single bench run within a few minutes
     n_docs = max(int(500_000 * sf), 2_000) if sf else 5_000
+    # scaling experiments override the input size: at 50k docs the
+    # pipeline is latency-bound (fixed per-round cost dominates; extra
+    # cores buy nothing), so the N-vs-4N comparison is also run at a
+    # larger input where the parallel fraction dominates
+    n_docs = int(os.environ.get("SPARK_GRAFT_TILE_DOCS", n_docs))
     t0 = time.time()
     pages = generate_pages(spark, n_docs, num_partitions=int(cpus) * 2)
     pages = pages.persist()

@@ -42,14 +42,31 @@ def run_at(cpus: int, sf_dir: str) -> dict:
 
 
 ANALYSIS_MD = """
+## Measurement integrity (round-3 protocol)
+
+Every number in this file was measured at the HEAD commit that ships
+it — never at a different commit. Round-2 postmortem: a 2.5x flagship
+regression (lazy control-frame lineage compounding Catalyst sizeInBytes
+stats into huge BigIntegers; see the round-3 fix commit) was
+misattributed to VM contention, and the published headline came from a
+pre-regression commit. Two guards now prevent a repeat:
+
+1. the pure-Catalyst probe (q1) runs inside every bench invocation; a
+   window is CONTENDED (and discarded from headlines) only when the
+   probe itself is >1.5x its cross-round best — code regressions leave
+   the probe clean;
+2. bench.py emits a PERF REGRESSION warning whenever tile_pipeline
+   exceeds the best prior round by >1.5x while the probe is clean
+   (tests/test_bench_guard.py).
+
 ## Noise caveat
 
-The sandbox VM shows up to ~3x run-to-run wall-time variance on
-identical code+data (same code measured 106s and 303s for the local[32]
-pipeline within one hour; even pure-Catalyst queries like q1 vary 2x).
-Runs are therefore INTERLEAVED across parallelism levels in fresh JVMs
-and the per-level best (least-contended) run is reported; all raw
-values are listed above.
+The sandbox VM still shows real run-to-run wall-time variance on
+identical code+data (external co-tenant episodes were observed in
+rounds 1-2). Runs are therefore INTERLEAVED across parallelism levels
+in fresh JVMs and the per-level best (least-contended) run is
+reported; all raw values are listed above, and the probe criterion
+above decides which windows were contended.
 
 ## Why efficiency is below 0.8 at sandbox scale, and what recovers it
 
@@ -76,9 +93,16 @@ job at the 125k root cell). Round 2 replaced the large-cell path with a
 vectorized push-relabel plus source/sink-set contraction (the
 border-nodes counterpart): 2.4s for the same job — 12x — with
 bit-identical flags asserted against Dinic and Edmonds-Karp on every
-fixture. Remaining round-over-round deltas: distributed best-cut argmin
-(no per-round metrics collect), CC pass skipped once 10x cells
-saturates the cluster, driver state independent of total cell count.
+fixture. Round 3 fixed the driver: the per-cell best-cut argmin stays a
+distributed struct-min but its (parallelism-bounded) winner set is
+collected and the per-round control frames rebuilt from literal rows,
+cutting the cross-round crossJoin lineage whose Catalyst sizeInBytes
+stats had compounded into minutes of driver-side BigInteger
+multiplication (the round-2 regression); the connected-component
+fan-out runs unconditionally in direction mode (min-cut cost is
+superlinear in component size); and the multi-level local finish
+completes ALL remaining levels in one cogroup pass once every active
+cell fits the local threshold (one pass instead of one per level).
 
 ## Reference comparison
 
@@ -94,7 +118,7 @@ distributed==local suites + 37 DuckDB-oracle query rows).
 Every scaling run executes the full pipeline with
 verify_text_invariant=True (byte-identical text per url asserted
 in-pipeline); the assignment golden, resume byte-equality, and
-37/37-oracle query parity are enforced by pytest and the driver's
+40/40-oracle query parity are enforced by pytest and the driver's
 CORRECTNESS gate on the same code.
 """
 

@@ -116,3 +116,41 @@ def test_multilevel_road_graph_properties():
         v["ids"], v["lat"], v["lon"], e["tail"], e["head"], cell_sizes
     )
     assert np.array_equal(assign, assign2) and num_cells == num_cells2
+
+
+def test_multilevel_finish_local_matches_full_oracle():
+    """multilevel_finish_local (the one-pass multi-level finish kernel)
+    must reproduce multilevel_partition_local's lower-level cells and
+    numbering exactly when seeded with the oracle's top-level cells."""
+    from osm_inertial_flow_partitioner_spark.kernel.multilevel import (
+        multilevel_finish_local,
+    )
+
+    v, e = road_like_graph(300, seed=11)
+    cell_sizes = [8, 32, 128]
+    assign, num_cells, _ = multilevel_partition_local(
+        v["ids"], v["lat"], v["lon"], e["tail"], e["head"], cell_sizes
+    )
+    ids = np.sort(v["ids"])
+    L = len(cell_sizes)
+
+    # rebuild the oracle's top-level cells, then finish levels 1..0 via
+    # the finish kernel per top cell, concatenating in top-cell order
+    top = [ids[assign[L - 1] == c] for c in range(num_cells[L - 1])]
+    for level in (1, 0):
+        got_cells: list[np.ndarray] = []
+        for cell in top:
+            per_level = multilevel_finish_local(
+                cell, v["lat"], v["lon"], e["tail"], e["head"],
+                [cell_sizes[lvl] for lvl in range(L - 2, level - 1, -1)],
+            )
+            got_cells.extend(per_level[-1])
+        exp = {
+            c: set(ids[assign[level] == c].tolist())
+            for c in range(num_cells[level])
+        }
+        got = {i: set(c.tolist()) for i, c in enumerate(got_cells)}
+        assert len(got_cells) == num_cells[level]
+        assert {k: v_ for k, v_ in got.items() if v_} == {
+            k: v_ for k, v_ in exp.items() if v_
+        }
