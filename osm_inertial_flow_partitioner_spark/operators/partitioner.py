@@ -462,7 +462,14 @@ def _run_level(
         sizes_frames: list[DataFrame] = []  # still-oversized children
         empties_frames: list[DataFrame] = []
         metric_parts: list[DataFrame] = []
-        to_unpersist = []
+        to_unpersist = []  # cell-mode outputs: lazy metric frames read
+        # them at level end, so they stay cached until then
+        round_unpersist = []  # direction-mode outputs: the control
+        # frames are literal rows, so nothing references these after the
+        # round's assignment checkpoint — freeing them per round bounds
+        # cache growth to O(1) rounds instead of O(rounds) (the 10x
+        # job-duplicated frames are the big ones; at 200k docs the
+        # level-end policy OOM'd a 24g heap at local[8])
 
         def run_cell_mode(keys_df, kernel, is_bisect):
             kdf = F.broadcast(keys_df.select("root", "path"))
@@ -565,7 +572,7 @@ def _run_level(
                     .applyInPandas(_cc_kernel, schema=CC_OUT_SCHEMA)
                     .persist()
                 )
-                to_unpersist.append(cc)
+                round_unpersist.append(cc)
                 if os.environ.get("TILER_DEBUG"):
                     _t = time.time()
                     cc.count()
@@ -638,7 +645,7 @@ def _run_level(
                     .applyInPandas(_make_direction_kernel(), schema=DIR_OUT_SCHEMA)
                     .persist()
                 )
-                to_unpersist.append(out)
+                round_unpersist.append(out)
                 if os.environ.get("TILER_DEBUG"):
                     _t = time.time()
                     out.count()
@@ -766,20 +773,26 @@ def _run_level(
                 )
             )
             metrics_frames.append(round_metrics)
-            for df in to_unpersist:
+            for df in to_unpersist + round_unpersist:
                 df.unpersist()
         else:
             # ONE eager materialization per round (the assignment):
             # computing it caches the persisted kernel outputs, so the
             # tiny sizes/empties/metrics frames stay LAZY against the
             # cache and are folded into one job at level end — no
-            # per-round fixed-latency job tax. Outputs stay cached
-            # until level end (evictable; recompute is deterministic).
+            # per-round fixed-latency job tax. Cell-mode outputs stay
+            # cached until level end (lazy metric frames read them);
+            # direction-mode outputs are freed NOW — their control
+            # frames are literal rows, so nothing references them past
+            # this checkpoint and keeping O(rounds) of 10x-duplicated
+            # cache OOMs small heaps at scale.
             assign = new_assign.localCheckpoint(eager=True)
             sizes_df = new_sizes
             empties_df = new_empties
             level_metric_frames.append(round_metrics)
             level_unpersist.extend(to_unpersist)
+            for df in round_unpersist:
+                df.unpersist()
         if os.environ.get("TILER_DEBUG"):
             print(
                 f"[tiler] level={level} round={rnd} small={n_small} "
