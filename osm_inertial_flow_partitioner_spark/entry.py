@@ -40,14 +40,22 @@ from .operators.dedup import (
     exact_dedup,
     jaccard_pairs,
     lsh_candidate_pairs,
+    lsh_dup_groups,
     minhash_signatures,
     simhash,
     simhash64,
     simhash64_near_dups,
+    simhash_dup_groups,
 )
 from .operators.partitioner import multilevel_partition
-from .operators.sessionize import hourly_rollup, sessionize
-from .operators.similarity import cosine, cosine_topk_brute, cosine_topk_ivf
+from .operators.sessionize import hourly_rollup, session_stats, sessionize
+from .operators.similarity import (
+    cosine,
+    cosine_topk_brute,
+    cosine_topk_ivf,
+    embedding_near_dup,
+    hyperplanes,
+)
 from .operators.spatial import (
     knn_lookup_broadcast,
     make_polygons_df,
@@ -95,6 +103,12 @@ N_BANDS = 4
 SIM_BITS = 16
 SIM64_K = 3  # hamming radius for the 64-bit near-dup refine
 _PERMS = minhash_params(N_PERM, seed=42)
+#: embedding near-dup cosine threshold — the sf tables' max off-diagonal
+#: cosine is ~0.51 and 8-plane bucketing keeps only same-signature
+#: pairs, so 0.25 yields a non-trivial (33-pair at sf0.01) result set
+NEAR_DUP_THRESHOLD = 0.25
+#: the same seeded hyperplanes both engines bucket with (rounded 6dp)
+_PLANES = hyperplanes(64, 8, seed=42)
 
 #: integer-exact pseudo-coordinates for the customer table
 LAT_EXPR_SQL = "(((c_custkey * 37) % 1200) / 10.0 - 59.95)"
@@ -530,6 +544,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents"), threshold=0.5
     )
 
+    q["lsh_dup_groups"] = lambda spark, sf: lsh_dup_groups(
+        _t(spark, sf, "documents"), num_perm=N_PERM
+    )
+
+    q["simhash_dup_groups"] = lambda spark, sf: simhash_dup_groups(
+        _t(spark, sf, "documents"), bits=SIM_BITS
+    )
+
+    def embedding_near_dup_q(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        return embedding_near_dup(
+            emb, threshold=NEAR_DUP_THRESHOLD, n_planes=8, dim=64, seed=42
+        )
+
+    q["embedding_near_dup"] = embedding_near_dup_q
+
     # ---- text analysis ----
     q["text_stats"] = lambda spark, sf: document_stats(_t(spark, sf, "documents"))
 
@@ -580,6 +610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- event stream (batch twins) ----
     q["events_sessionize"] = lambda spark, sf: sessionize(_t(spark, sf, "events"))
+
+    q["session_stats"] = lambda spark, sf: session_stats(_t(spark, sf, "events"))
 
     q["events_hourly_rollup"] = lambda spark, sf: hourly_rollup(_t(spark, sf, "events"))
 
@@ -1017,6 +1049,44 @@ def _lsh_pairs_sql() -> str:
         "SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2 "
         "FROM stacked a JOIN stacked b ON a.band = b.band AND a.bucket = b.bucket "
         "WHERE a.doc_id < b.doc_id"
+    )
+
+
+def _lsh_dup_groups_sql() -> str:
+    sig = " || '_' || ".join(f"mh{i}::VARCHAR" for i in range(N_PERM))
+    return (
+        f"WITH sigs AS ({_minhash_select_sql()}), "
+        f"g AS (SELECT ({sig}) AS sig, min(doc_id) AS doc_id, "
+        f"count(*) AS n_docs FROM sigs GROUP BY 1) "
+        f"SELECT doc_id, n_docs FROM g WHERE n_docs > 1"
+    )
+
+
+def _simhash_dup_groups_sql() -> str:
+    return (
+        f"WITH sh AS ({_simhash_sql()}), "
+        f"g AS (SELECT simhash, min(doc_id) AS doc_id, count(*) AS n_docs "
+        f"FROM sh GROUP BY 1) "
+        f"SELECT doc_id, n_docs FROM g WHERE n_docs > 1"
+    )
+
+
+def _embedding_near_dup_sql() -> str:
+    # the SAME seeded 6dp-rounded hyperplanes as the Spark side; bucket
+    # bit i = (v . h_i) > 0 (operators/similarity.py::lsh_bucket)
+    bucket = " + ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(float(x)) for x in plane)
+        + f"]) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(_PLANES)
+    )
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        f"b AS (SELECT vec_id, v, ({bucket})::BIGINT AS bucket FROM e), "
+        "p AS (SELECT a.vec_id AS id1, c.vec_id AS id2, "
+        "round(list_cosine_similarity(a.v, c.v), 6) AS sim "
+        "FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id) "
+        f"SELECT id1, id2, sim FROM p WHERE sim >= {NEAR_DUP_THRESHOLD}"
     )
 
 
@@ -1523,6 +1593,28 @@ def oracle_sql() -> dict[str, str]:
                    sum(round(value * 100, 0)::BIGINT)::BIGINT AS sum_value_cents
             FROM events GROUP BY 1, 2
         """,
+        "session_stats": """
+            WITH g AS (SELECT user_id, event_id, ts,
+                        CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                               OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                             THEN 1 ELSE 0 END AS is_new
+                       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT user_id, event_id, ts,
+                    (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)::BIGINT
+                      AS session_id
+                  FROM g),
+            j AS (SELECT s.user_id, s.session_id,
+                         floor(epoch(s.ts))::BIGINT AS et, e.value
+                  FROM s JOIN events e ON s.event_id = e.event_id)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   (max(et) - min(et))::BIGINT AS span_sec,
+                   sum(round(value * 100, 0)::BIGINT)::BIGINT AS sum_value_cents
+            FROM j GROUP BY 1, 2
+        """,
+        "lsh_dup_groups": _lsh_dup_groups_sql(),
+        "simhash_dup_groups": _simhash_dup_groups_sql(),
+        "embedding_near_dup": _embedding_near_dup_sql(),
         # sketch rows: oracle asserts the EXACT value and claims
         # within_tolerance = TRUE — if Spark's sketch drifts out of
         # tolerance the hash check fails (see queries())

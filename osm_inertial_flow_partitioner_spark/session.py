@@ -22,10 +22,19 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = os.environ.get("SPARK_MASTER_URL", f"local[{cpus}]")
     if shuffle_partitions is None:
-        try:
-            shuffle_partitions = max(int(str(cpus)), 8)
-        except ValueError:
-            shuffle_partitions = 32
+        env_sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        if env_sp:
+            shuffle_partitions = int(env_sp)
+        else:
+            # partition count should track DATA SIZE, not core count —
+            # at a fixed input, halving cores must not double partition
+            # size (a local[8] run at 200k docs OOM'd purely because its
+            # partitions were 4x local[32]'s). Floor well above the core
+            # count; AQE coalesces small partitions back down at runtime.
+            try:
+                shuffle_partitions = max(int(str(cpus)), 32)
+            except ValueError:
+                shuffle_partitions = 32
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
