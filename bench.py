@@ -20,16 +20,29 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def prior_round_best(repo_dir: str, query: str) -> float | None:
+def prior_round_best(
+    repo_dir: str, query: str, n_docs: int | None = None
+) -> float | None:
     """Best (min) recorded timing for ``query`` across prior rounds'
-    BENCH_r*.json files, or None if none exist."""
+    BENCH_r*.json files, or None if none exist.
+
+    Driver-written BENCH_r*.json nests the bench JSON under 'parsed'
+    (top-level keys are n/rc/cpus/sf/tail/parsed); bench.py's own
+    output is flat — accept both. When ``n_docs`` is given, only
+    records measured at the same input size are comparable (the
+    flagship time scales with SPARK_GRAFT_TILE_DOCS; comparing across
+    sizes would misfire the guard)."""
     import glob
 
     vals = []
     for p in sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))):
         try:
             with open(p) as f:
-                t = json.load(f).get("queries", {}).get(query)
+                d = json.load(f)
+            d = d.get("parsed", d) or {}
+            if n_docs is not None and d.get("n_docs") not in (None, n_docs):
+                continue
+            t = d.get("queries", {}).get(query)
             if t is not None:
                 vals.append(float(t))
         except (OSError, ValueError):
@@ -148,7 +161,7 @@ def main() -> None:
     repo = os.path.dirname(os.path.abspath(__file__))
     warn = perf_regression_warning(
         timings["tile_pipeline"],
-        prior_round_best(repo, "tile_pipeline"),
+        prior_round_best(repo, "tile_pipeline", n_docs=n_docs),
         timings.get("q1_pricing_summary"),
         prior_round_best(repo, "q1_pricing_summary"),
     )

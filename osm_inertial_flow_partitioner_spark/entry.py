@@ -684,30 +684,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         from .streaming.incremental import streaming_sessionize
 
+        import shutil
+
         src = tempfile.mkdtemp(prefix="sess_stream_src_")
-        (
-            _t(spark, sf, "events")
-            .select("event_id", "ts", "user_id")
-            .coalesce(1)  # one file -> one micro-batch -> in-order replay
-            .write.mode("overwrite")
-            .parquet(src)
-        )
-        stream = spark.readStream.schema(
-            "event_id long, ts timestamp, user_id long"
-        ).parquet(src)
-        name = f"sess_stream_{uuid.uuid4().hex[:8]}"
-        sq = (
-            streaming_sessionize(stream, gap_minutes=30, watermark="1 hour")
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        sq.awaitTermination(300)
-        out = spark.table(name)
-        # pin the rows (the memory sink dies with the query object)
-        return spark.createDataFrame(out.collect(), out.schema)
+        try:
+            (
+                _t(spark, sf, "events")
+                .select("event_id", "ts", "user_id")
+                .coalesce(1)  # one file -> one micro-batch -> in-order replay
+                .write.mode("overwrite")
+                .parquet(src)
+            )
+            stream = spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long"
+            ).parquet(src)
+            name = f"sess_stream_{uuid.uuid4().hex[:8]}"
+            sq = (
+                streaming_sessionize(stream, gap_minutes=30, watermark="1 hour")
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            # a False return means the availableNow run is STILL going —
+            # snapshotting the memory sink now would compare a partial
+            # result against the oracle (confusing hash-mismatch instead
+            # of a clear timeout)
+            if not sq.awaitTermination(300):
+                sq.stop()
+                raise RuntimeError("streaming sessionize replay timed out")
+            out = spark.table(name)
+            # pin the rows (the memory sink dies with the query object)
+            return spark.createDataFrame(out.collect(), out.schema)
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
 
     q["events_sessionize_stream"] = events_sessionize_stream
 
@@ -1652,7 +1663,13 @@ def oracle_sql() -> dict[str, str]:
             mx AS (SELECT user_id, max(session_id) AS last_sid FROM a GROUP BY 1)
             SELECT a.user_id, a.session_id, a.start_ts, a.end_ts, a.n_events
             FROM a JOIN mx USING (user_id), wm
-            WHERE a.session_id < mx.last_sid OR a.end_ts + 1800 <= wm.w
+            -- STRICT <: Spark fires event-time timeouts only when the
+            -- timeout timestamp is strictly below the watermark
+            -- (FlatMapGroupsWithStateExec: timeoutTimestamp <
+            -- eventTimeWatermark), so a session with end_ts + 1800 ==
+            -- max(ts) - 3600 is NOT flushed by the stream — a non-strict
+            -- oracle would flake on whole-second boundary data
+            WHERE a.session_id < mx.last_sid OR a.end_ts + 1800 < wm.w
         """,
         "way_filter": f"""
             WITH {_way_cte()}

@@ -969,6 +969,30 @@ def multilevel_partition(
                 )
                 .localCheckpoint(eager=True)
             )
+            # per-bisection lineage is collapsed inside the finish kernel;
+            # keep the metrics contract with one summary row per
+            # (level, entering root): n vertices, empty-cell count,
+            # mode='ml_finish' (cut stats are intra-kernel, reported -1)
+            metrics_frames.append(
+                out.groupBy("level", "root")
+                .agg(
+                    F.count("*").alias("nv"),
+                    F.first("n_cells").alias("n_cells"),
+                    F.countDistinct("local_cell").alias("n_ne"),
+                )
+                .select(
+                    F.col("level").cast("int").alias("level"),
+                    F.lit(0).cast("int").alias("round"),
+                    "root",
+                    F.lit(-1).cast("long").alias("parent_path"),
+                    F.col("nv").cast("int").alias("n"),
+                    F.lit(-1).cast("int").alias("cut_edges"),
+                    F.lit(-1).cast("int").alias("part_two"),
+                    F.lit(-1).cast("int").alias("best_job"),
+                    (F.col("n_cells") - F.col("n_ne")).cast("int").alias("n_empty"),
+                    F.lit("ml_finish").alias("mode"),
+                )
+            )
             for li, lvl in enumerate(lvls):
                 lvl_df = out.filter(F.col("level") == lvl)
                 meta = lvl_df.groupBy("root").agg(

@@ -254,14 +254,19 @@ def salted_repartition(
     """Explicit salt for skewed keys: hot keys fan out over n_salt
     sub-partitions; the rest keep salt 0 (so downstream per-key work can
     re-aggregate cheaply). Complements AQE skew-join splitting
-    (spark.sql.adaptive.skewJoin.enabled, on in session.py)."""
+    (spark.sql.adaptive.skewJoin.enabled, on in session.py).
+
+    The salt is a content hash over ALL columns — replay-stable: a task
+    retry (or upstream re-materialization changing partition layout)
+    re-salts every row identically, unlike monotonically_increasing_id
+    whose value depends on where the row happened to sit."""
+    row_hash = F.xxhash64(*[F.col(c) for c in df.columns])
     if hot_keys is None:
-        salt = F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()), F.lit(n_salt))
+        salt = F.pmod(row_hash, F.lit(n_salt))
     else:
         hot = F.array(*[F.lit(k) for k in hot_keys])
         salt = F.when(
-            F.array_contains(hot, F.col(key)),
-            F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt)),
+            F.array_contains(hot, F.col(key)), F.pmod(row_hash, F.lit(n_salt))
         ).otherwise(F.lit(0))
     return df.withColumn("salt", salt).repartition(key, "salt")
 

@@ -36,3 +36,43 @@ def test_prior_round_best_reads_bench_files(tmp_path):
     assert prior_round_best(str(tmp_path), "tile_pipeline") == 123.4
     assert prior_round_best(str(tmp_path), "q1_pricing_summary") == 2.0
     assert prior_round_best(str(tmp_path), "missing") is None
+
+
+def test_prior_round_best_reads_driver_nested_format(tmp_path):
+    # the driver's BENCH_r*.json wraps the bench line under 'parsed'
+    # (r3 ADVICE: the flat-only reader silently returned None against
+    # every committed file, disarming the guard)
+    (tmp_path / "BENCH_r01.json").write_text(
+        json.dumps(
+            {
+                "n": 3,
+                "rc": 0,
+                "tail": "...",
+                "parsed": {
+                    "queries": {"tile_pipeline": 150.0, "q1_pricing_summary": 1.7},
+                    "n_docs": 50000,
+                },
+            }
+        )
+    )
+    (tmp_path / "BENCH_r02.json").write_text(
+        json.dumps(
+            {"parsed": {"queries": {"tile_pipeline": 99.0}, "n_docs": 200000}}
+        )
+    )
+    assert prior_round_best(str(tmp_path), "tile_pipeline") == 99.0
+    assert prior_round_best(str(tmp_path), "q1_pricing_summary") == 1.7
+    # n_docs-matched comparison: only same-input records count
+    assert prior_round_best(str(tmp_path), "tile_pipeline", n_docs=50000) == 150.0
+    assert prior_round_best(str(tmp_path), "tile_pipeline", n_docs=500000) is None
+
+
+def test_prior_round_best_reads_committed_files():
+    # regression test against the REAL committed format, not synthetic
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if not os.path.exists(os.path.join(repo, "BENCH_r03.json")):
+        import pytest
+
+        pytest.skip("no committed BENCH files in this checkout")
+    best = prior_round_best(repo, "tile_pipeline", n_docs=50000)
+    assert best is not None and 0 < best < 10_000

@@ -110,3 +110,20 @@ def test_hot_cells_and_salting(spark, points):
     counts = salted.groupBy("cell", "salt").count().collect()
     hot_salts = {r["salt"] for r in counts if r["cell"] == hots[0]}
     assert len(hot_salts) > 1  # hot cell actually fanned out
+
+
+def test_salting_is_replay_stable(spark, points):
+    # content-hash salt: the same row gets the same salt regardless of
+    # partition layout (a task retry after an upstream change must not
+    # re-salt rows differently)
+    pts = points.withColumn("cell", grid_cell(F.col("lat"), F.col("lon"), 4))
+    a = salted_repartition(pts.repartition(3), "cell", n_salt=4)
+    b = salted_repartition(pts.repartition(17), "cell", n_salt=4)
+    key = ["entity_id"] if "entity_id" in pts.columns else pts.columns[:1]
+    mism = (
+        a.select(*key, "salt")
+        .join(b.select(*key, F.col("salt").alias("salt_b")), key)
+        .filter(F.col("salt") != F.col("salt_b"))
+        .count()
+    )
+    assert mism == 0
