@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType
 
 from ..functions.geo import cell_parent, grid_cell, grid_disk, haversine_km, lat_bin, lon_bin
+from .topk import partial_topk
 
 
 # ---------------------------------------------------------------------------
@@ -201,11 +202,14 @@ def knn_lookup_bucketed(
     )
     pts = points.withColumn("cell", grid_cell(F.col("lat"), F.col("lon"), res))
     d = haversine_km(F.col("qlat"), F.col("qlon"), F.col("lat"), F.col("lon"))
+    # partial per-partition top-k before the global window: the full
+    # candidate set (queries x ring-disk occupancy) never sits in one
+    # sorter — only <= 9k rows per query reach the ranked window
+    cand = q.join(pts, "cell").select("query_id", "entity_id", d.alias("dist_km"))
+    reduced = partial_topk(cand, ["query_id"], ["dist_km", "entity_id"], k)
     w = Window.partitionBy("query_id").orderBy(F.col("dist_km").asc(), F.col("entity_id").asc())
     return (
-        q.join(pts, "cell")
-        .withColumn("dist_km", d)
-        .withColumn("rk", F.row_number().over(w))
+        reduced.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "entity_id", F.round("dist_km", 6).alias("dist_km"), "rk")
     )

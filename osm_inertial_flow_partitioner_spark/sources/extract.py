@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.geo import grid_cell, grid_disk, haversine_km
+from ..operators.topk import partial_topk
 
 GEO_PATTERN = r"geo:(-?\d+\.\d+),(-?\d+\.\d+)"
 
@@ -119,13 +120,27 @@ def knn_adjacency(
         F.col("lon").alias("qlon"),
         F.explode(grid_disk(F.col("cell"), res, ring)).alias("cell"),
     )
-    cand = probes.join(pts, "cell").filter(F.col("entity_id") != F.col("qid"))
-    d = haversine_km(F.col("qlat"), F.col("qlon"), F.col("lat"), F.col("lon"))
+    cand = (
+        probes.join(pts, "cell")
+        .filter(F.col("entity_id") != F.col("qid"))
+        .select(
+            "qid",
+            "entity_id",
+            haversine_km(
+                F.col("qlat"), F.col("qlon"), F.col("lat"), F.col("lon")
+            ).alias("d"),
+        )
+    )
+    # partial per-partition top-k BEFORE the global window (the round-3
+    # scale-killer: the bare window sorted the full ~240M-row candidate
+    # set in one pass; see operators/topk.py). Candidates are
+    # hash-partitioned by cell, so the reduced set is <= 9k rows/query.
+    reduced = partial_topk(cand, ["qid"], ["d", "entity_id"], k)
     w = Window.partitionBy("qid").orderBy(
-        d.asc(), F.col("entity_id").asc()
+        F.col("d").asc(), F.col("entity_id").asc()
     )
     knn = (
-        cand.withColumn("rk", F.row_number().over(w))
+        reduced.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select(
             F.least("qid", "entity_id").alias("tail"),

@@ -112,6 +112,41 @@ def test_hot_cells_and_salting(spark, points):
     assert len(hot_salts) > 1  # hot cell actually fanned out
 
 
+def test_partial_topk_matches_global_window(spark):
+    # the bounded per-partition reducer must be EXACT: staging the
+    # candidate set through it and then ranking yields precisely the
+    # global-window top-k (superset property under a total order)
+    from pyspark.sql import Window
+
+    from osm_inertial_flow_partitioner_spark.operators.topk import partial_topk
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (int(rng.integers(0, 50)), i, float(rng.uniform(0, 100)))
+        for i in range(5000)
+    ]
+    # planted ties at the k boundary to exercise the tiebreaker
+    rows += [(99, 10_000 + j, 1.0) for j in range(10)]
+    df = spark.createDataFrame(rows, "qid long, eid long, d double").repartition(13)
+    # tiny compact_rows forces the mid-stream re-compaction path
+    red = partial_topk(df, ["qid"], ["d", "eid"], 4, compact_rows=64)
+    w = Window.partitionBy("qid").orderBy(F.col("d").asc(), F.col("eid").asc())
+
+    def topk(frame):
+        return (
+            frame.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 4)
+            .select("qid", "eid", "d", "rk")
+        )
+
+    got = sorted(map(tuple, topk(red).collect()))
+    want = sorted(map(tuple, topk(df).collect()))
+    assert got == want
+    # the reduction is genuinely bounded: <= k rows per (qid, partition)
+    per_qid = {r["qid"]: r["c"] for r in red.groupBy("qid").agg(F.count("*").alias("c")).collect()}
+    assert max(per_qid.values()) <= 4 * 13
+
+
 def test_salting_is_replay_stable(spark, points):
     # content-hash salt: the same row gets the same salt regardless of
     # partition layout (a task retry after an upstream change must not
