@@ -138,6 +138,17 @@ PIP_POLYGONS = [
         "name": "triangle",
         "ring": [(0.37, -50.11), (20.73, -30.29), (0.37, -10.53)],
     },
+    {
+        # real-OSM shape: a MULTIPOLYGON boundary — outer shell with a
+        # hole, plus a second disjoint shell (even-odd across rings)
+        "boundary_id": 4,
+        "name": "holed_multi",
+        "rings": [
+            [(-50.0, 40.0), (-50.0, 80.0), (-20.0, 80.0), (-20.0, 40.0)],
+            [(-40.0, 55.0), (-40.0, 70.0), (-30.0, 70.0), (-30.0, 55.0)],
+            [(20.0, -120.0), (20.0, -80.0), (45.0, -80.0), (45.0, -120.0)],
+        ],
+    },
 ]
 
 
@@ -1124,7 +1135,14 @@ def _pip_sql() -> str:
         "SELECT point_id, 2::BIGINT FROM p "
         "WHERE lat > 30 AND lat < 50 AND lon > 100 AND lon < 140 "
         "UNION ALL "
-        f"SELECT point_id, 3::BIGINT FROM p WHERE {tri}"
+        f"SELECT point_id, 3::BIGINT FROM p WHERE {tri} "
+        "UNION ALL "
+        # boundary 4 (multipolygon, even-odd): inside the southern shell
+        # but NOT its hole, OR inside the disjoint northern shell
+        "SELECT point_id, 4::BIGINT FROM p WHERE "
+        "((lat > -50 AND lat < -20 AND lon > 40 AND lon < 80) "
+        " AND NOT (lat > -40 AND lat < -30 AND lon > 55 AND lon < 70)) "
+        "OR (lat > 20 AND lat < 45 AND lon > -120 AND lon < -80)"
     )
 
 

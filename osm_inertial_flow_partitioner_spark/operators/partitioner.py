@@ -320,6 +320,34 @@ def _make_direction_kernel():
     return kernel
 
 
+def _direction_control_rows(
+    wrows, level: int, rnd: int, max_cell_size: int
+) -> tuple[list, list, list]:
+    """Literal control rows (metrics, still-oversized child sizes,
+    empty-cell counts) from the collected per-cell winner set — LITERAL
+    rows on purpose: they cut the cross-round crossJoin lineage whose
+    Catalyst sizeInBytes stats otherwise compound into BigIntegers (see
+    the argmin comment in _run_level)."""
+    mrows, srows, erows = [], [], []
+    for r in wrows:
+        root, path = int(r["root"]), int(r["path"])
+        n_cell, p2 = int(r["n"]), int(r["part_two"])
+        mrows.append(
+            (
+                level, rnd, root, path, n_cell, int(r["cut_edges"]),
+                p2, int(r["job"]), 1 if p2 == n_cell else 0,
+                "direction",
+            )
+        )
+        if p2 == n_cell:
+            erows.append((root, 1))
+        if n_cell - p2 >= max_cell_size:
+            srows.append((root, path * 2, n_cell - p2))
+        if p2 >= max_cell_size:
+            srows.append((root, path * 2 + 1, p2))
+    return mrows, srows, erows
+
+
 def _label_edges(edges: DataFrame, active: DataFrame) -> DataFrame:
     """J3 semi-join: label both endpoints, keep intra-cell edges."""
     vmap = active.select(F.col("vertex_id").alias("v"), "root", "path")
@@ -396,6 +424,7 @@ def _run_level(
     metrics_frames: list,
     sizes_df: DataFrame,
     checkpoint=None,
+    sizes_rows: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Bisection rounds for one level. Round 0 bisects every cell
     (Partition() runs per parent unconditionally,
@@ -410,9 +439,22 @@ def _run_level(
     rows where active < parallelism by construction. Lineage metrics
     and empty-cell bookkeeping are DataFrames too.
 
-    Returns (assignment, empties_df (root, n_empty))."""
+    Returns (assignment, empties_df (root, n_empty)).
+
+    ``sizes_rows`` — optional driver-side Python mirror of ``sizes_df``
+    as [(root, path, n), ...]. Only carried while it stays BOUNDED: the
+    top level enters with one literal row, and in direction-parallel
+    mode the still-oversized children come back through the (bounded <
+    parallelism) argmin collect, so the mirror costs O(active) driver
+    memory — never O(#cells). Any round that derives sizes lazily
+    (mode-2 cell bisection, checkpoint resume, level entry from
+    relabel) drops the mirror and the DataFrame path takes over. With
+    the mirror live, the per-round mode decision and the active/big
+    splits are pure Python — two fewer driver-blocking jobs per round
+    (the sizes agg + the big-cell collect)."""
     spark = assign.sparkSession
     parallelism = spark.sparkContext.defaultParallelism
+    ckpt_parts = max(parallelism, 2)
     schemas = {
         "assign": ASSIGN_SCHEMA,
         "sizes": SIZES_SCHEMA,
@@ -430,30 +472,55 @@ def _run_level(
                 level, rnd, schemas
             )
             metrics_frames.append(m)
+            sizes_rows = None
             rnd += 1
             continue
-        active = (
-            sizes_df  # round 0: every parent cell, any size
-            if rnd == 0
-            else sizes_df.filter(F.col("n") >= max_cell_size)
-        )
-        agg = active.groupBy().agg(
-            F.count("*").alias("n_active"),
-            F.sum((F.col("n") >= local_threshold).cast("int")).alias("n_big"),
-            F.max("path").alias("max_path"),
-        ).first()
-        n_active = int(agg["n_active"] or 0)
-        if n_active == 0:
-            break
-        # every bisection round appends >= 1 bit to the heap path
-        assert int(agg["max_path"]) < 2**61, (
-            "heap-numbered cell path near int64 overflow"
-        )
-        n_big = int(agg["n_big"] or 0)
-        n_small = n_active - n_big
+        _t_phase = time.time()
+        if sizes_rows is not None:
+            act_rows = (
+                sizes_rows
+                if rnd == 0
+                else [r for r in sizes_rows if r[2] >= max_cell_size]
+            )
+            n_active = len(act_rows)
+            if n_active == 0:
+                break
+            assert max(r[1] for r in act_rows) < 2**61, (
+                "heap-numbered cell path near int64 overflow"
+            )
+            small_rows = [r for r in act_rows if r[2] < local_threshold]
+            big_rows = [r for r in act_rows if r[2] >= local_threshold]
+            n_big = len(big_rows)
+            n_small = len(small_rows)
+            active = spark.createDataFrame(act_rows, SIZES_SCHEMA)
+            small_df = spark.createDataFrame(small_rows, SIZES_SCHEMA) if small_rows else None
+            big_df = spark.createDataFrame(big_rows, SIZES_SCHEMA) if big_rows else None
+        else:
+            active = (
+                sizes_df  # round 0: every parent cell, any size
+                if rnd == 0
+                else sizes_df.filter(F.col("n") >= max_cell_size)
+            )
+            agg = active.groupBy().agg(
+                F.count("*").alias("n_active"),
+                F.sum((F.col("n") >= local_threshold).cast("int")).alias("n_big"),
+                F.max("path").alias("max_path"),
+            ).first()
+            n_active = int(agg["n_active"] or 0)
+            if n_active == 0:
+                break
+            # every bisection round appends >= 1 bit to the heap path
+            assert int(agg["max_path"]) < 2**61, (
+                "heap-numbered cell path near int64 overflow"
+            )
+            n_big = int(agg["n_big"] or 0)
+            n_small = n_active - n_big
+            small_df = active.filter(F.col("n") < local_threshold)
+            big_df = active.filter(F.col("n") >= local_threshold)
+            big_rows = None
+        if os.environ.get("TILER_DEBUG"):
+            print(f"[tiler]   sizes prep took {time.time() - _t_phase:.2f}s", flush=True)
         _t_round = time.time()
-        small_df = active.filter(F.col("n") < local_threshold)
-        big_df = active.filter(F.col("n") >= local_threshold)
 
         inactive = assign.join(
             F.broadcast(active.select("root", "path")), ["root", "path"], "left_anti"
@@ -462,6 +529,7 @@ def _run_level(
         sizes_frames: list[DataFrame] = []  # still-oversized children
         empties_frames: list[DataFrame] = []
         metric_parts: list[DataFrame] = []
+        deferred_wbest: DataFrame | None = None
         to_unpersist = []  # cell-mode outputs: lazy metric frames read
         # them at level end, so they stay cached until then
         round_unpersist = []  # direction-mode outputs: the control
@@ -545,11 +613,14 @@ def _run_level(
                 # mode 1: (cell x direction x component) groups — the 10
                 # inertial jobs fan out as tasks AND each job decomposes
                 # exactly by connected component (see _make_direction_kernel).
-                # Collecting the big cells here is bounded by
-                # `parallelism` BY CONSTRUCTION (mode 2 takes over past
-                # it), so driver state stays O(cluster), never O(#cells).
-                big_rows = big_df.collect()
-                big_sizes = {(int(r["root"]), int(r["path"])): int(r["n"]) for r in big_rows}
+                # The big-cell set here is bounded by `parallelism` BY
+                # CONSTRUCTION (mode 2 takes over past it), so driver
+                # state stays O(cluster), never O(#cells); with the
+                # Python sizes mirror live it is already in hand and no
+                # collect job runs at all.
+                if big_rows is None:
+                    big_rows = big_df.collect()
+                big_sizes = {(int(r[0]), int(r[1])): int(r[2]) for r in big_rows}
                 big_keys = list(big_sizes)
                 kdf = F.broadcast(
                     spark.createDataFrame(big_keys, "root long, path long")
@@ -703,18 +774,42 @@ def _run_level(
                         F.col("b.n").alias("n"),
                     )
                 )
-                wrows = wbest.collect()  # bounded by parallelism
-                if os.environ.get("TILER_DEBUG"):
-                    print(
-                        f"[tiler]   argmin collected {len(wrows)} winners",
-                        flush=True,
+                if checkpoint is None:
+                    # DEFER the winner collect: broadcast the (persisted)
+                    # lazy winner set straight into the chosen-side join,
+                    # so the round's single materialization — the
+                    # assignment checkpoint — computes kernels AND argmin
+                    # in one action; the bounded winner collect then reads
+                    # the cache afterwards to rebuild the literal control
+                    # frames. One fewer full driver round-trip per round.
+                    # (Under checkpointing the control frames must exist
+                    # BEFORE the snapshot write, so the eager path below
+                    # stays.) Columns re-aliased for fresh expr ids —
+                    # `out` feeds both sides of this join.
+                    wbest = wbest.persist()
+                    deferred_wbest = wbest
+                    wdf = F.broadcast(
+                        wbest.select(
+                            F.col("root").alias("root"),
+                            F.col("path").alias("path"),
+                            F.col("job").alias("job"),
+                        )
                     )
-                wdf = F.broadcast(
-                    spark.createDataFrame(
-                        [(int(r["root"]), int(r["path"]), int(r["job"])) for r in wrows],
-                        "root long, path long, job int",
+                else:
+                    _t_phase = time.time()
+                    wrows = wbest.collect()  # bounded by parallelism
+                    if os.environ.get("TILER_DEBUG"):
+                        print(
+                            f"[tiler]   argmin collect ({len(wrows)} winners) took "
+                            f"{time.time() - _t_phase:.2f}s",
+                            flush=True,
+                        )
+                    wdf = F.broadcast(
+                        spark.createDataFrame(
+                            [(int(r["root"]), int(r["path"]), int(r["job"])) for r in wrows],
+                            "root long, path long, job int",
+                        )
                     )
-                )
                 chosen = out.join(wdf, ["root", "path", "job"], "inner")
                 frames.append(
                     chosen.select(
@@ -725,28 +820,15 @@ def _run_level(
                         "lon",
                     )
                 )
-                mrows, srows, erows = [], [], []
-                for r in wrows:
-                    root, path = int(r["root"]), int(r["path"])
-                    n_cell, p2 = int(r["n"]), int(r["part_two"])
-                    mrows.append(
-                        (
-                            level, rnd, root, path, n_cell, int(r["cut_edges"]),
-                            p2, int(r["job"]), 1 if p2 == n_cell else 0,
-                            "direction",
-                        )
+                if checkpoint is not None:
+                    mrows, srows, erows = _direction_control_rows(
+                        wrows, level, rnd, max_cell_size
                     )
-                    if p2 == n_cell:
-                        erows.append((root, 1))
-                    if n_cell - p2 >= max_cell_size:
-                        srows.append((root, path * 2, n_cell - p2))
-                    if p2 >= max_cell_size:
-                        srows.append((root, path * 2 + 1, p2))
-                metric_parts.append(spark.createDataFrame(mrows, METRICS_SCHEMA))
-                if srows:
-                    sizes_frames.append(spark.createDataFrame(srows, SIZES_SCHEMA))
-                if erows:
-                    empties_frames.append(spark.createDataFrame(erows, EMPTIES_SCHEMA))
+                    metric_parts.append(spark.createDataFrame(mrows, METRICS_SCHEMA))
+                    if srows:
+                        sizes_frames.append(spark.createDataFrame(srows, SIZES_SCHEMA))
+                    if erows:
+                        empties_frames.append(spark.createDataFrame(erows, EMPTIES_SCHEMA))
             else:
                 run_cell_mode(big_df, _make_bisect_kernel(rate), True)
 
@@ -763,7 +845,11 @@ def _run_level(
         new_empties = empties_df
         for fr in empties_frames:
             new_empties = new_empties.unionByName(fr)
-        round_metrics = metric_parts[0]
+        round_metrics = (
+            metric_parts[0]
+            if metric_parts
+            else spark.createDataFrame([], METRICS_SCHEMA)
+        )
         for fr in metric_parts[1:]:
             round_metrics = round_metrics.unionByName(fr)
         if checkpoint is not None:
@@ -773,26 +859,69 @@ def _run_level(
                 )
             )
             metrics_frames.append(round_metrics)
+            sizes_rows = None
             for df in to_unpersist + round_unpersist:
                 df.unpersist()
         else:
             # ONE eager materialization per round (the assignment):
-            # computing it caches the persisted kernel outputs, so the
-            # tiny sizes/empties/metrics frames stay LAZY against the
-            # cache and are folded into one job at level end — no
-            # per-round fixed-latency job tax. Cell-mode outputs stay
-            # cached until level end (lazy metric frames read them);
-            # direction-mode outputs are freed NOW — their control
-            # frames are literal rows, so nothing references them past
-            # this checkpoint and keeping O(rounds) of 10x-duplicated
-            # cache OOMs small heaps at scale.
-            assign = new_assign.localCheckpoint(eager=True)
+            # computing it caches the persisted kernel outputs AND (via
+            # the broadcast of the deferred winner set) runs the argmin
+            # inside the same action; the tiny sizes/empties/metrics
+            # frames stay LAZY against the cache and are folded into one
+            # job at level end — no per-round fixed-latency job tax.
+            # The coalesce caps the stored partition count: each round's
+            # union otherwise ADDS its children's partitions to the
+            # checkpointed set, and by round 6 every scan of the
+            # assignment was paying 300+ task launches (profiled round-3
+            # tail: checkpoint cost grew 1.1s -> 4.0s across rounds).
+            # Cell-mode outputs stay cached until level end (lazy metric
+            # frames read them); direction-mode outputs are freed NOW —
+            # their control frames are literal rows, so nothing
+            # references them past this checkpoint and keeping O(rounds)
+            # of 10x-duplicated cache OOMs small heaps at scale.
+            _t_phase = time.time()
+            assign = new_assign.coalesce(ckpt_parts).localCheckpoint(eager=True)
+            if os.environ.get("TILER_DEBUG"):
+                print(
+                    f"[tiler]   assign checkpoint took {time.time() - _t_phase:.2f}s",
+                    flush=True,
+                )
+            if deferred_wbest is not None:
+                _t_phase = time.time()
+                wrows = deferred_wbest.collect()  # cached by the broadcast
+                mrows, srows, erows = _direction_control_rows(
+                    wrows, level, rnd, max_cell_size
+                )
+                level_metric_frames.append(
+                    spark.createDataFrame(mrows, METRICS_SCHEMA)
+                )
+                if srows:
+                    new_sizes = new_sizes.unionByName(
+                        spark.createDataFrame(srows, SIZES_SCHEMA)
+                    )
+                if erows:
+                    new_empties = new_empties.unionByName(
+                        spark.createDataFrame(erows, EMPTIES_SCHEMA)
+                    )
+                if os.environ.get("TILER_DEBUG"):
+                    print(
+                        f"[tiler]   deferred argmin ({len(wrows)} winners) took "
+                        f"{time.time() - _t_phase:.2f}s",
+                        flush=True,
+                    )
+                deferred_wbest.unpersist()
+            else:
+                srows = []
             sizes_df = new_sizes
             empties_df = new_empties
             level_metric_frames.append(round_metrics)
             level_unpersist.extend(to_unpersist)
             for df in round_unpersist:
                 df.unpersist()
+            # refresh the Python mirror: valid only when every child
+            # size this round came from the bounded winner set (cell-mode
+            # bisection contributes lazy frames -> drop the mirror)
+            sizes_rows = None if sizes_frames else srows
         if os.environ.get("TILER_DEBUG"):
             print(
                 f"[tiler] level={level} round={rnd} small={n_small} "
@@ -923,11 +1052,14 @@ def multilevel_partition(
         sizes0 = spark.createDataFrame([(0, 1, n)], SIZES_SCHEMA)
         a, empties_df = _run_level(
             assign, edges, top_u, rate, local_recursion_threshold, L - 1,
-            metrics_frames, sizes0, checkpoint,
+            metrics_frames, sizes0, checkpoint, sizes_rows=[(0, 1, n)],
         )
+        _t = time.time()
         labeled, c, empty_cells, level_sizes = _relabel_level(
             a, empties_df, spark.createDataFrame([], "root long")
         )
+        if os.environ.get("TILER_DEBUG"):
+            print(f"[tiler] relabel level={L-1} took {time.time() - _t:.1f}s", flush=True)
     else:
         labeled = assign.select(
             "vertex_id", "lat", "lon", F.lit(0).cast("long").alias("cell_id")
@@ -952,6 +1084,7 @@ def multilevel_partition(
         mx_row = level_sizes.groupBy().agg(F.max("n").alias("mx")).first()
         mx = int(mx_row["mx"]) if mx_row["mx"] is not None else 0
         if checkpoint is None and 0 < mx < local_recursion_threshold:
+            _t_ml = time.time()
             lvls = list(range(level, -1, -1))
             sizes_desc = [cell_sizes[l] for l in lvls]
             a0 = current.select(
@@ -1016,6 +1149,11 @@ def multilevel_partition(
                         F.lit(lvl).alias("level"),
                         (F.col("offset") + F.col("local_cell")).alias("cell_id"),
                     )
+                )
+            if os.environ.get("TILER_DEBUG"):
+                print(
+                    f"[tiler] ml finish (levels {lvls}) took {time.time() - _t_ml:.1f}s",
+                    flush=True,
                 )
             break
         a0 = current.select(

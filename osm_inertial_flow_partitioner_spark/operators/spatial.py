@@ -64,46 +64,44 @@ def polygon_covering_cells(
 @F.pandas_udf(BooleanType())
 def _ray_cast(
     bid: pd.Series, lat: pd.Series, lon: pd.Series,
-    ring_lat: pd.Series, ring_lon: pd.Series,
+    rings_lat: pd.Series, rings_lon: pd.Series,
 ) -> pd.Series:
-    """Exact even-odd ray casting. Points on an edge follow the
-    half-open convention (consistent with the oracle fixtures, which
-    avoid boundary points).
+    """Exact even-odd ray casting over a MULTIPOLYGON boundary: each
+    boundary carries a list of closed rings (outer shells AND holes,
+    orientation-free); a point is inside iff its ray-crossing count
+    summed over ALL rings is odd — the standard even-odd rule, which
+    subtracts holes and unions disjoint shells with no ring
+    classification needed. Points on an edge follow the half-open
+    convention (consistent with the oracle fixtures, which avoid
+    boundary points).
 
     Vectorized ACROSS POINTS per polygon: rows in a batch are grouped by
     boundary_id (a handful of broadcast polygons), then each ring edge
     is tested against the whole point vector at once — Python work per
-    batch is O(#polygons x #edges), independent of the row count. An
-    edge with y1 == y2 can never satisfy (y1 > y) != (y2 > y), so
-    skipping it (instead of the divide-ignore of a per-row formulation)
-    is result-identical."""
+    batch is O(#polygons x #edges), independent of the row count. Every
+    candidate row carries the boundary's complete ring set (nested
+    array), so the group's first row is definitionally complete — the
+    old one-ring-per-boundary assert is retired. An edge with y1 == y2
+    can never satisfy (y1 > y) != (y2 > y), so skipping it (instead of
+    the divide-ignore of a per-row formulation) is result-identical."""
     out = np.zeros(len(lat), dtype=bool)
     la = lat.to_numpy(np.float64)
     lo = lon.to_numpy(np.float64)
     bids = bid.to_numpy()
     for b in pd.unique(bids):
         idx = np.flatnonzero(bids == b)
-        ry = np.asarray(ring_lat.iloc[idx[0]], dtype=np.float64)
-        rx = np.asarray(ring_lon.iloc[idx[0]], dtype=np.float64)
-        # the ring arrays are taken from the group's first row, which is
-        # only sound if boundary_id identifies ONE ring; guard against a
-        # future multipolygon dim silently producing wrong containment
-        grp = ring_lat.iloc[idx]
-        assert (grp.str.len() == len(ry)).all() and (
-            grp.str[0] == ry[0]
-        ).all(), (
-            f"boundary_id {b} maps to multiple distinct rings; "
-            "use one row per ring with a distinct ring key"
-        )
+        rys = [np.asarray(r, dtype=np.float64) for r in rings_lat.iloc[idx[0]]]
+        rxs = [np.asarray(r, dtype=np.float64) for r in rings_lon.iloc[idx[0]]]
         x, y = lo[idx], la[idx]
         acc = np.zeros(len(idx), dtype=np.int64)
-        for j in range(len(rx) - 1):
-            x1, y1, x2, y2 = rx[j], ry[j], rx[j + 1], ry[j + 1]
-            if y1 == y2:
-                continue
-            cond = (y1 > y) != (y2 > y)
-            xin = (x2 - x1) * (y - y1) / (y2 - y1) + x1
-            acc += cond & (x < xin)
+        for ry, rx in zip(rys, rxs):
+            for j in range(len(rx) - 1):
+                x1, y1, x2, y2 = rx[j], ry[j], rx[j + 1], ry[j + 1]
+                if y1 == y2:
+                    continue
+                cond = (y1 > y) != (y2 > y)
+                xin = (x2 - x1) * (y - y1) / (y2 - y1) + x1
+                acc += cond & (x < xin)
         out[idx] = (acc % 2) == 1
     return pd.Series(out)
 
@@ -115,8 +113,10 @@ def point_in_polygon_join(
     point_lat: str = "lat",
     point_lon: str = "lon",
 ) -> DataFrame:
-    """points x polygons(boundary_id, name, ring_lat array<double>,
-    ring_lon array<double>, closed ring) -> matched rows.
+    """points x polygons(boundary_id, name, rings_lat
+    array<array<double>>, rings_lon array<array<double>>, closed rings)
+    -> matched rows. Boundaries may be multipolygons: any number of
+    outer shells and holes per boundary_id (even-odd rule).
 
     Plan: polygons explode to covering cells (broadcast — boundary sets
     are metadata-scale), points equi-join on their cell, exact refine via
@@ -124,7 +124,7 @@ def point_in_polygon_join(
     """
     polys = polygons.withColumn(
         "cell", F.explode(F.col("covering_cells"))
-    ).select("boundary_id", "name", "ring_lat", "ring_lon", "cell")
+    ).select("boundary_id", "name", "rings_lat", "rings_lon", "cell")
     pts = points.withColumn("cell", grid_cell(F.col(point_lat), F.col(point_lon), res))
     cand = pts.join(F.broadcast(polys), "cell")
     return cand.filter(
@@ -132,33 +132,39 @@ def point_in_polygon_join(
             F.col("boundary_id"),
             F.col(point_lat),
             F.col(point_lon),
-            F.col("ring_lat"),
-            F.col("ring_lon"),
+            F.col("rings_lat"),
+            F.col("rings_lon"),
         )
-    ).drop("ring_lat", "ring_lon", "cell")
+    ).drop("rings_lat", "rings_lon", "cell")
 
 
 def make_polygons_df(spark, polys: Iterable[dict], res: int = 6) -> DataFrame:
     """Build the polygons dim table from dicts {boundary_id, name,
-    ring: [(lat, lon), ...]} with precomputed covering cells."""
+    ring: [(lat, lon), ...]} (single ring) or {boundary_id, name,
+    rings: [[(lat, lon), ...], ...]} (multipolygon: outer shells +
+    holes, even-odd) with precomputed covering cells (union of per-ring
+    bbox covers — holes lie inside their shells, so this is exactly the
+    shells' cover)."""
     rows = []
     for p in polys:
-        ring = list(p["ring"])
-        if ring[0] != ring[-1]:
-            ring = ring + [ring[0]]
+        rings = [list(r) for r in p["rings"]] if "rings" in p else [list(p["ring"])]
+        rings = [r + [r[0]] if r[0] != r[-1] else r for r in rings]
+        cells: set[int] = set()
+        for r in rings:
+            cells.update(polygon_covering_cells(r, res))
         rows.append(
             (
                 int(p["boundary_id"]),
                 p["name"],
-                [float(a) for a, _ in ring],
-                [float(b) for _, b in ring],
-                polygon_covering_cells(ring, res),
+                [[float(a) for a, _ in r] for r in rings],
+                [[float(b) for _, b in r] for r in rings],
+                sorted(cells),
             )
         )
     return spark.createDataFrame(
         rows,
-        "boundary_id long, name string, ring_lat array<double>, "
-        "ring_lon array<double>, covering_cells array<long>",
+        "boundary_id long, name string, rings_lat array<array<double>>, "
+        "rings_lon array<array<double>>, covering_cells array<long>",
     )
 
 

@@ -51,7 +51,12 @@ def run_pipeline(
     output_dir: str | None = None,
     verify_text_invariant: bool = True,
 ) -> PipelineResult:
+    import os
+    import time
+
     config = config or PartitionConfig()
+    debug = bool(os.environ.get("TILER_DEBUG"))
+    _t = time.time()
     n_docs = pages.count()
 
     # stage A: extract (res = query-cell resolution; the kNN adjacency
@@ -59,12 +64,18 @@ def run_pipeline(
     entities = extract_entities(pages, res=res)
     entities.persist()
     n_entities = entities.count()
+    if debug:
+        print(f"[pipeline] extract took {time.time() - _t:.1f}s", flush=True)
+        _t = time.time()
     edges = knn_adjacency(entities, k=k, res=adjacency_res)
     edges.persist()
 
     if verify_text_invariant:
         changed = text_invariant_check(pages, pages)
         assert changed == 0, f"text mutated for {changed} urls"
+    if debug:
+        print(f"[pipeline] text invariant took {time.time() - _t:.1f}s", flush=True)
+        _t = time.time()
 
     vertices = entities.select(
         F.col("entity_id").alias("vertex_id"), "lat", "lon"
@@ -74,6 +85,8 @@ def run_pipeline(
     assignment, num_cells, metrics = multilevel_partition(
         spark, vertices, edges, config, checkpoint=checkpoint
     )
+    if debug:
+        print(f"[pipeline] partition took {time.time() - _t:.1f}s", flush=True)
 
     # stage C: pack + sinks
     packed = pack_assignment(assignment, num_cells)

@@ -37,13 +37,15 @@ def points(spark):
 def _brute_pip(points_rows, ring):
     """Shapely-free even-odd reference implementation."""
     out = []
+    rings = ring if isinstance(ring[0], list) else [ring]
     for pid, lat, lon in points_rows:
         inside = False
-        for (y1, x1), (y2, x2) in zip(ring, ring[1:] + ring[:1]):
-            if (y1 > lat) != (y2 > lat):
-                xin = (x2 - x1) * (lat - y1) / (y2 - y1) + x1
-                if lon < xin:
-                    inside = not inside
+        for r in rings:
+            for (y1, x1), (y2, x2) in zip(r, r[1:] + r[:1]):
+                if (y1 > lat) != (y2 > lat):
+                    xin = (x2 - x1) * (lat - y1) / (y2 - y1) + x1
+                    if lon < xin:
+                        inside = not inside
         if inside:
             out.append(pid)
     return sorted(out)
@@ -65,6 +67,41 @@ def test_pip_join_matches_bruteforce(spark, points):
             for r in got.filter(F.col("boundary_id") == p["boundary_id"]).collect()
         )
         assert g == exp, f"boundary {p['boundary_id']}"
+
+
+def test_pip_join_multipolygon_with_hole(spark, points):
+    # multipolygon boundary: shell containing the planted hot cluster,
+    # a hole cut from the cluster's center, and a second disjoint shell
+    polys = [
+        {
+            "boundary_id": 7,
+            "name": "holed_multi",
+            "rings": [
+                [(5.0, 15.0), (5.0, 25.0), (15.0, 25.0), (15.0, 15.0)],
+                [(9.0, 19.0), (9.0, 21.0), (11.0, 21.0), (11.0, 19.0)],
+                [(-50.0, -150.0), (-50.0, -100.0), (-20.0, -100.0), (-20.0, -150.0)],
+            ],
+        },
+    ]
+    pdf = make_polygons_df(spark, polys, res=4)
+    got = point_in_polygon_join(points, pdf, res=4)
+    rows = points.select("entity_id", "lat", "lon").collect()
+    prows = [(r["entity_id"], r["lat"], r["lon"]) for r in rows]
+    rings = [list(r) for r in polys[0]["rings"]]
+    exp = _brute_pip(prows, rings)
+    g = sorted(r["entity_id"] for r in got.collect())
+    assert g == exp
+    # the fixture is non-degenerate: some points in the shell, some
+    # excluded by the hole, some caught by the second shell
+    in_hole = [
+        pid for pid, la, lo in prows if 9.0 < la < 11.0 and 19.0 < lo < 21.0
+    ]
+    in_second = [
+        pid for pid, la, lo in prows if -50.0 < la < -20.0 and -150.0 < lo < -100.0
+    ]
+    assert len(exp) > 0 and len(in_hole) > 0 and len(in_second) > 0
+    assert not (set(in_hole) & set(g))
+    assert set(in_second) <= set(g)
 
 
 def test_knn_bucketed_matches_broadcast(spark, points):
