@@ -73,18 +73,74 @@ def decode_image(payload: bytes, real: bool = False) -> np.ndarray:
     return _fake_decode(payload)
 
 
+def _wav_decode(payload: bytes) -> np.ndarray:
+    """Real audio decoder: stdlib ``wave`` (PCM WAV), no external codec
+    needed. Mono-mixes, then samples 256 evenly spaced amplitudes
+    (zero-padded) into the SAME float32 (16, 16) output contract as the
+    image path, so every downstream operator (feature pooling,
+    similarity) is identical across modalities."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_ch = w.getnchannels()
+        width = w.getsampwidth()
+        frames = w.readframes(w.getnframes())
+    if width == 2:
+        samples = np.frombuffer(frames, dtype="<i2").astype(np.float32)
+    elif width == 1:  # 8-bit WAV is unsigned
+        samples = np.frombuffer(frames, dtype=np.uint8).astype(np.float32) - 128.0
+    else:
+        raise NotImplementedError(
+            f"unsupported WAV sample width {width} (PCM 8/16-bit only)"
+        )
+    if n_ch > 1:
+        samples = samples[: len(samples) // n_ch * n_ch].reshape(-1, n_ch).mean(axis=1)
+    out = np.zeros(256, dtype=np.float32)
+    if len(samples):
+        idx = np.linspace(0, len(samples) - 1, 256).astype(np.int64)
+        out[:] = samples[idx]
+    return out.reshape(16, 16)
+
+
+def decode_audio(payload: bytes, real: bool = False) -> np.ndarray:
+    """Audio chokepoint, same pattern as ``decode_image``. ``real=True``
+    parses PCM WAV via the stdlib ``wave`` module; compressed containers
+    (mp3/ogg/aac — no codec in this runtime) raise NotImplementedError
+    loudly rather than decode wrongly."""
+    if real:
+        import wave
+
+        try:
+            return _wav_decode(payload)
+        except wave.Error as e:
+            raise NotImplementedError(
+                f"real audio decode supports PCM WAV only in this runtime "
+                f"(stdlib wave): {e}"
+            ) from e
+    return _fake_decode(payload)
+
+
 def extract_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
     """binary payload -> fixed-dim feature vector (mean-pooled rows of
     the decoded array). Real plumbing: Arrow-batched mapInPandas,
     array<float> output column; ``real_decode`` flips the chokepoint to
-    PIL (capability-gated, see module docstring)."""
+    the real decoders per modality — PIL for ``kind='image'``
+    (capability-gated), stdlib-wave PCM for ``kind='audio'``; video has
+    no codec in this runtime and stays on the deterministic stub even
+    under ``real_decode`` (documented known gap)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                decode_image(p, real_decode).mean(axis=1)[:FEATURE_DIM].tolist()
-                for p in pdf["payload"]
-            ]
+            feats = []
+            for p, kind in zip(pdf["payload"], pdf["kind"]):
+                if real_decode and kind == "audio":
+                    arr = decode_audio(p, real=True)
+                elif real_decode and kind == "video":
+                    arr = _fake_decode(p)  # no video codec in runtime
+                else:
+                    arr = decode_image(p, real_decode)
+                feats.append(arr.mean(axis=1)[:FEATURE_DIM].tolist())
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "features": feats}
             )
