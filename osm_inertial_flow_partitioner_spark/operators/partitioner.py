@@ -1079,29 +1079,39 @@ def multilevel_partition(
         # local-recursion threshold, one cogroup pass completes ALL
         # remaining levels (each task runs the full lower recursion for
         # one cell) instead of one distributed pass + relabel per level.
-        # Disabled under checkpointing (snapshots are per (level, round)
-        # and the collapsed pass has neither).
+        # Under checkpointing the collapsed pass is its own named
+        # resumable unit (snapshots are per (level, round); the collapsed
+        # pass spans several levels, so it gets a unit snapshot instead
+        # — resumable runs keep the fast path).
         mx_row = level_sizes.groupBy().agg(F.max("n").alias("mx")).first()
         mx = int(mx_row["mx"]) if mx_row["mx"] is not None else 0
-        if checkpoint is None and 0 < mx < local_recursion_threshold:
+        if 0 < mx < local_recursion_threshold:
             _t_ml = time.time()
             lvls = list(range(level, -1, -1))
             sizes_desc = [cell_sizes[l] for l in lvls]
-            a0 = current.select(
-                "vertex_id", "lat", "lon",
-                F.col("cell_id").alias("root"),
-                F.lit(1).cast("long").alias("path"),
-            )
-            e_act = _label_edges(edges, a0)
-            out = (
-                a0.groupBy("root", "path")
-                .cogroup(e_act.groupBy("root", "path"))
-                .applyInPandas(
-                    _make_multilevel_finish_kernel(lvls, sizes_desc, rate),
-                    schema=ML_FINISH_SCHEMA,
+            unit = f"mlfinish_l{level}"
+            if checkpoint is not None and checkpoint.has_unit(unit):
+                out = checkpoint.load_unit(unit, ML_FINISH_SCHEMA)
+            else:
+                a0 = current.select(
+                    "vertex_id", "lat", "lon",
+                    F.col("cell_id").alias("root"),
+                    F.lit(1).cast("long").alias("path"),
                 )
-                .localCheckpoint(eager=True)
-            )
+                e_act = _label_edges(edges, a0)
+                out = (
+                    a0.groupBy("root", "path")
+                    .cogroup(e_act.groupBy("root", "path"))
+                    .applyInPandas(
+                        _make_multilevel_finish_kernel(lvls, sizes_desc, rate),
+                        schema=ML_FINISH_SCHEMA,
+                    )
+                )
+                out = (
+                    checkpoint.snapshot_unit(unit, out)
+                    if checkpoint is not None
+                    else out.localCheckpoint(eager=True)
+                )
             # per-bisection lineage is collapsed inside the finish kernel;
             # keep the metrics contract with one summary row per
             # (level, entering root): n vertices, empty-cell count,

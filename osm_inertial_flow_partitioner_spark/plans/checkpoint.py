@@ -115,6 +115,44 @@ class RoundCheckpoint:
             for name in ("assign", "sizes", "empties", "metrics")
         )
 
+    # -- named resumable units (e.g. the collapsed multi-level local
+    # finish, which is one cogroup pass covering several levels and so
+    # fits neither the (level, round) grid nor a per-level snapshot) --
+
+    def _unit_dir(self, name: str) -> str:
+        return os.path.join(self.root, f"unit={name}")
+
+    def has_unit(self, name: str) -> bool:
+        p = os.path.join(self._unit_dir(name), "manifest.json")
+        if not os.path.exists(p) or not self.config_token:
+            return False
+        with open(p) as f:
+            return json.load(f).get("config_token") == self.config_token
+
+    def snapshot_unit(self, name: str, df: DataFrame) -> DataFrame:
+        """Write one named durable unit; returns the reloaded frame
+        (write IS the materialization — lineage truncated at disk). The
+        manifest lands only after a complete write, so a kill mid-write
+        recomputes instead of replaying a torn snapshot."""
+        d = self._unit_dir(name)
+        p = os.path.join(d, "data")
+        df.write.mode("overwrite").parquet(p)
+        out = self.spark.read.schema(df.schema).parquet(p)
+        manifest = {
+            "unit": name,
+            "rows": out.count(),
+            "config_token": self.config_token,
+            "completed_at": time.time(),
+        }
+        with open(os.path.join(d, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        return out
+
+    def load_unit(self, name: str, schema: str) -> DataFrame:
+        return self.spark.read.schema(schema).parquet(
+            os.path.join(self._unit_dir(name), "data")
+        )
+
     def has_round(self, level: int, rnd: int) -> bool:
         p = os.path.join(self._dir(level, rnd), "manifest.json")
         if not os.path.exists(p):

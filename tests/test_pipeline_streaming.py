@@ -104,6 +104,22 @@ def test_checkpoint_resume_byte_identical(spark, pages, tmp_path):
     ck3 = RoundCheckpoint(spark, str(tmp_path / "ck"), config_token="OTHER")
     assert not ck3.has_round(lvl, 0) or lvl != ck.latest()[0]
 
+    # kill/restart THROUGH the collapsed multi-level local finish: the
+    # fast path must stay active under checkpointing as its own named
+    # resumable unit — drop its manifest, resume, byte-identical again
+    import glob
+
+    units = glob.glob(str(tmp_path / "ck" / "unit=mlfinish_l*" / "manifest.json"))
+    assert units, "collapsed ml-finish did not snapshot as a named unit"
+    os.remove(units[0])
+    ck4 = RoundCheckpoint(spark, str(tmp_path / "ck"), config_token="t1")
+    r4 = run_pipeline(spark, pages, cfg, res=5, k=3, checkpoint=ck4)
+    assert sorted(map(tuple, r4.assignment.collect())) == b
+    # and a pure replay (all snapshots present) still matches
+    ck5 = RoundCheckpoint(spark, str(tmp_path / "ck"), config_token="t1")
+    r5 = run_pipeline(spark, pages, cfg, res=5, k=3, checkpoint=ck5)
+    assert sorted(map(tuple, r5.assignment.collect())) == b
+
 
 def test_streaming_entities_match_batch(spark, pages, tmp_path):
     src = str(tmp_path / "pages_stream")
