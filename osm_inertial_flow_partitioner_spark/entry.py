@@ -685,11 +685,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def events_sessionize_stream(spark, sf):
         # the STATEFUL streaming sessionizer (applyInPandasWithState,
-        # event-time timeout) replayed over the static events table in
-        # one availableNow batch; oracle = the batch gap-sessionization
-        # SQL restricted to sessions the stream emits (closed by a later
-        # session, or flushed because the final watermark passed
-        # last + gap)
+        # event-time timeout, watermark-complete emission) replayed over
+        # the static events table in one availableNow batch; oracle =
+        # the batch gap-sessionization SQL restricted to sessions the
+        # final watermark proves complete (end + gap strictly below it)
+        # — the emitted set is replay-order-independent by construction
         import tempfile
         import uuid
 
@@ -1677,17 +1677,17 @@ def oracle_sql() -> dict[str, str]:
                          max(floor(epoch(ts)))::BIGINT AS end_ts,
                          count(*) AS n_events
                   FROM s GROUP BY 1, 2),
-            wm AS (SELECT max(end_ts) - 3600 AS w FROM a),
-            mx AS (SELECT user_id, max(session_id) AS last_sid FROM a GROUP BY 1)
+            wm AS (SELECT max(end_ts) - 3600 AS w FROM a)
             SELECT a.user_id, a.session_id, a.start_ts, a.end_ts, a.n_events
-            FROM a JOIN mx USING (user_id), wm
-            -- STRICT <: Spark fires event-time timeouts only when the
-            -- timeout timestamp is strictly below the watermark
-            -- (FlatMapGroupsWithStateExec: timeoutTimestamp <
-            -- eventTimeWatermark), so a session with end_ts + 1800 ==
-            -- max(ts) - 3600 is NOT flushed by the stream — a non-strict
-            -- oracle would flake on whole-second boundary data
-            WHERE a.session_id < mx.last_sid OR a.end_ts + 1800 < wm.w
+            FROM a, wm
+            -- WATERMARK-COMPLETE contract (streaming/incremental.py):
+            -- the stream emits exactly the batch sessions the final
+            -- watermark proves complete — end + gap STRICTLY below it
+            -- (Spark fires event-time timeouts only when the timeout
+            -- timestamp is strictly below the watermark), regardless of
+            -- micro-batch arrival order. A non-strict oracle would
+            -- flake on whole-second boundary data.
+            WHERE a.end_ts + 1800 < wm.w
         """,
         "way_filter": f"""
             WITH {_way_cte()}

@@ -90,63 +90,86 @@ def run_stream_to_staging(
 SESSION_OUT_SCHEMA = (
     "user_id long, session_id long, start_ts long, end_ts long, n_events long"
 )
-SESSION_STATE_SCHEMA = "start long, last long, sid long, n long"
+SESSION_STATE_SCHEMA = "start long, last long, sid long, n long, buf array<long>"
 
 
 def _make_session_fn(gap_sec: int, state_ttl_sec: int):
+    import bisect
+
     import pandas as pd
 
     cols = ["user_id", "session_id", "start_ts", "end_ts", "n_events"]
 
     def fn(key, pdf_iter, state):
         user_id = int(key[0])
-        out = []
-        if state.hasTimedOut:
-            start, last, sid, n = state.get
-            if n > 0:
-                # flush the open session, but KEEP the per-user session
-                # counter in a sentinel state (start=-1) so the next
-                # session continues the monotone numbering instead of
-                # restarting at 0 (duplicate keys downstream). The
-                # sentinel itself expires after state_ttl_sec of
-                # inactivity — bounded state, numbering survives any
-                # quiet gap shorter than the TTL.
-                out.append((user_id, sid, start, last, n))
-                ttl_ms = (last + gap_sec + state_ttl_sec) * 1000
-                if ttl_ms <= state.getCurrentWatermarkMs():
-                    # the TTL already elapsed by the time the timeout
-                    # fired (user idle > TTL) — expire the counter now;
-                    # a timeout timestamp below the watermark is invalid
-                    state.remove()
-                else:
-                    state.update((-1, last, sid, 0))
-                    state.setTimeoutTimestamp(ttl_ms)
-            else:
-                state.remove()
-        else:
-            ts: list[int] = []
+        wm_ms = state.getCurrentWatermarkMs()
+        wm = wm_ms // 1000
+        new_ts: list[int] = []
+        if not state.hasTimedOut:
             for pdf in pdf_iter:
-                ts.extend(int(x) for x in pdf["ts_long"])
-            ts.sort()
-            if state.exists:
-                start, last, sid, n = state.get
-                if start == -1:  # sentinel: counter only, no open session
-                    start = last = None
-            else:
+                new_ts.extend(int(x) for x in pdf["ts_long"])
+        if state.exists:
+            start, last, sid, n, buf = state.get
+            buf = sorted(list(buf) + new_ts)
+            anchor = last
+            if start == -1:  # sentinel: counter only, no open session
                 start = last = None
-                sid, n = -1, 0
-            for t in ts:
-                if last is None or t - last > gap_sec:
-                    if last is not None:
-                        out.append((user_id, sid, start, last, n))
-                    sid += 1
-                    start = t
-                    n = 0
-                n += 1
-                last = t
-            state.update((start, last, sid, n))
-            # close the open session once event time passes last + gap
-            state.setTimeoutTimestamp((last + gap_sec) * 1000)
+                n = 0
+        else:
+            start = last = None
+            sid, n = -1, 0
+            buf = sorted(new_ts)
+            anchor = None
+        out = []
+        # FINALIZE only events strictly below the watermark: any future
+        # arrival has ts >= watermark, so the relative order of the
+        # finalized prefix can never change — this is what makes the
+        # result independent of micro-batch arrival order. Later events
+        # stay buffered in state until the watermark passes them.
+        cut = bisect.bisect_left(buf, wm)
+        safe, buf = buf[:cut], buf[cut:]
+        for t in safe:
+            if last is None or t - last > gap_sec:
+                if last is not None:
+                    out.append((user_id, sid, start, last, n))
+                sid += 1
+                start = t
+                n = 0
+            n += 1
+            last = t
+        if last is not None:
+            anchor = last
+            # tail close, watermark-proved complete: no event can extend
+            # the open session once last + gap < wm STRICTLY (future
+            # arrivals are >= wm; Spark's event-time timeout uses the
+            # same strict predicate). Successor-closed sessions above
+            # satisfy end + gap < t_next < wm automatically, so the
+            # emitted set is exactly {batch sessions: end + gap < wm}.
+            if last + gap_sec < wm:
+                out.append((user_id, sid, start, last, n))
+                start = last = None
+                n = 0
+        if last is not None:  # open (not-yet-provably-complete) session
+            state.update((start, last, sid, n, buf))
+            wake_ms = (last + gap_sec) * 1000
+            if buf:
+                wake_ms = min(wake_ms, buf[0] * 1000)
+            state.setTimeoutTimestamp(max(wake_ms, wm_ms + 1))
+        elif buf:  # only buffered future events; wake when wm passes one
+            state.update((-1, anchor if anchor is not None else buf[0], sid, 0, buf))
+            state.setTimeoutTimestamp(max(buf[0] * 1000, wm_ms + 1))
+        elif sid >= 0 and anchor is not None:
+            # sentinel: keep the per-user session counter so numbering
+            # stays monotone across flushes; expires after
+            # state_ttl_sec of event-time inactivity — bounded state
+            ttl_ms = (anchor + gap_sec + state_ttl_sec) * 1000
+            if ttl_ms <= wm_ms:
+                state.remove()
+            else:
+                state.update((-1, anchor, sid, 0, []))
+                state.setTimeoutTimestamp(ttl_ms)
+        else:
+            state.remove()
         yield pd.DataFrame(out, columns=cols)
 
     return fn
@@ -159,23 +182,27 @@ def streaming_sessionize(
     state_ttl_minutes: int = 24 * 60,
 ) -> DataFrame:
     """Per-user session tracking as a CUSTOM STATEFUL streaming operator
-    (applyInPandasWithState, event-time timeout): state carries the open
-    session (start, last, index, count); a micro-batch's events extend
-    or close it, CLOSED sessions are appended downstream, and the open
-    session is flushed when the watermark passes last + gap. After a
-    flush the per-user session counter survives in a sentinel state for
-    ``state_ttl_minutes`` of event-time inactivity, so session_id stays
-    monotone across timeouts (no duplicate (user_id, session_id) keys);
-    only after the TTL does the numbering restart at 0.
+    (applyInPandasWithState, event-time timeout), WATERMARK-COMPLETE:
+    state buffers each user's pending event times; an event is
+    finalized into the gap-sessionization only once the watermark
+    passes it (no future arrival can reorder the finalized prefix), and
+    a session is emitted only once the watermark proves it complete
+    (end + gap < watermark, strict — Spark's own timeout predicate).
+    After a flush the per-user session counter survives in a sentinel
+    state for ``state_ttl_minutes`` of event-time inactivity, so
+    session_id stays monotone across timeouts (no duplicate
+    (user_id, session_id) keys); only after the TTL does the numbering
+    restart at 0.
 
-    Parity scope: replaying a static table IN EVENT-TIME ORDER (e.g. a
-    single availableNow batch, or time-ordered micro-batches) yields
-    exactly the batch twin's sessions (asserted in tests). An
-    out-of-order event that arrives in a LATER micro-batch with
-    ts < state.last but above the watermark is absorbed into the open
-    session (last moves back), which can differ from the batch global
-    sort — the standard streaming trade-off; tighten the watermark to
-    bound it."""
+    Parity: replaying a static table in ANY micro-batch order whose
+    disorder is bounded by the watermark delay (rows later than the
+    watermark are dropped by Spark before the operator — the standard
+    late-data contract) yields exactly the batch twin's sessions
+    restricted to end + gap < final watermark: same rows, same
+    numbering (asserted in tests for in-order AND shuffled replays, and
+    by the DuckDB oracle). State per user is O(events inside the
+    watermark horizon) — bounded by the delay, the streaming analogue
+    of the batch shuffle buffer."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     ev = events_stream.withWatermark("ts", watermark).select(

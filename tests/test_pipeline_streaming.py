@@ -192,17 +192,92 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
         t = int(r["ts"].timestamp())
         lo, hi, n = agg.get(key, (t, t, 0))
         agg[key] = (min(lo, t), max(hi, t), n + 1)
-    last_sid = {}
-    for u, s in agg:
-        last_sid[u] = max(last_sid.get(u, -1), s)
-    # a user's final (open) session is ALSO emitted when the event-time
-    # timeout fires: the global watermark (max event time - 1h) passed
-    # its last_ts + gap
+    # watermark-complete contract: exactly the batch sessions the final
+    # watermark (max event time - 1h) proves complete — end + gap
+    # STRICTLY below it (Spark's own event-time-timeout predicate)
     watermark = max(hi for (_, hi, _) in agg.values()) - 3600
-    expected = {
-        k: v
-        for k, v in agg.items()
-        if k[1] < last_sid[k[0]] or v[1] + 30 * 60 <= watermark
+    expected = {k: v for k, v in agg.items() if v[1] + 30 * 60 < watermark}
+
+    assert got == expected
+
+
+def test_streaming_sessionize_out_of_order_batches(spark, tmp_path):
+    """Replay parity must be independent of micro-batch arrival order:
+    events are split into consecutive time blocks written as separate
+    files, replayed one file per trigger in a SHUFFLED order whose
+    disorder stays inside the watermark delay. Output must equal the
+    batch twin restricted to watermark-complete sessions — same rows,
+    same session numbering — exactly what the in-order replay yields."""
+    import random
+
+    import pandas as pd
+
+    from osm_inertial_flow_partitioner_spark.operators.sessionize import sessionize
+    from osm_inertial_flow_partitioner_spark.streaming.incremental import (
+        streaming_sessionize,
+    )
+
+    rng = random.Random(11)
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    eid = 0
+    for user in (1, 2, 3, 4):
+        t = 0
+        while t < 10 * 3600:
+            # bursts with occasional > gap jumps
+            for _ in range(rng.randint(1, 4)):
+                rows.append(
+                    (eid, (base + pd.Timedelta(seconds=t + user)).to_pydatetime(), user)
+                )
+                eid += 1
+                t += rng.randint(60, 900)
+            t += rng.choice([120, 300, 2400, 4000])
+    rows.sort(key=lambda r: r[1])
+    # consecutive ~1h time blocks; adjacent-block swaps keep cross-batch
+    # disorder under the 2h watermark delay
+    blocks = [[] for _ in range(10)]
+    for r in rows:
+        blocks[min(int((r[1] - base.to_pydatetime()).total_seconds() // 3600), 9)].append(r)
+    order = list(range(10))
+    for i in range(0, 9, 2):
+        order[i], order[i + 1] = order[i + 1], order[i]
+    src = str(tmp_path / "ooo_src")
+    import os as _os
+
+    _os.makedirs(src, exist_ok=True)
+    schema = "event_id long, ts timestamp, user_id long"
+    for seq, bi in enumerate(order):
+        if blocks[bi]:
+            spark.createDataFrame(blocks[bi], schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{src}/b{seq:02d}")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    out = streaming_sessionize(stream, gap_minutes=30, watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_ooo")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_id"]): (r["start_ts"], r["end_ts"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_ooo").collect()
     }
 
+    events = spark.createDataFrame(rows, schema)
+    agg = {}
+    for r in sessionize(events, gap_minutes=30).collect():
+        key = (r["user_id"], r["session_id"])
+        t = int(r["ts"].timestamp())
+        lo, hi, n = agg.get(key, (t, t, 0))
+        agg[key] = (min(lo, t), max(hi, t), n + 1)
+    watermark = max(hi for (_, hi, _) in agg.values()) - 2 * 3600
+    expected = {k: v for k, v in agg.items() if v[1] + 30 * 60 < watermark}
+    assert expected, "fixture must close at least one session"
     assert got == expected
