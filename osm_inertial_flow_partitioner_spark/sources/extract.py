@@ -15,6 +15,8 @@ single-partition global window.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -92,8 +94,23 @@ def auto_adjacency_res(n_points: int) -> int:
     return max(4, min(14, int(round(math.log2(math.sqrt(n_points)))) + 3))
 
 
+#: Engage the partial top-k reduction only past this estimated candidate
+#: volume. Below it the plain ranking window is faster (round-4 probe at
+#: 50k docs / 54.7M candidates / local[32]: window 14.2s vs reduce+window
+#: 25.0s — the Arrow JVM->Python transfer dominates); above it the
+#: single-JVM sorter becomes the scale-killer the reduction exists to
+#: avoid (round-3 postmortem: 240M rows -> ~23 GB of sorter pages at
+#: 200k docs). 128M rows ~ 5 GB of sorter pages — comfortably inside an
+#: 8g executor, well short of the observed collapse point.
+TOPK_REDUCE_THRESHOLD = 128_000_000
+
+
 def knn_adjacency(
-    entities: DataFrame, k: int = 4, res: int | None = None, ring: int = 1
+    entities: DataFrame,
+    k: int = 4,
+    res: int | None = None,
+    ring: int = 1,
+    topk_threshold: int | None = None,
 ) -> DataFrame:
     """Cell-bucketed kNN graph over entities -> undirected edge list
     (edge_id, tail, head), one row per undirected edge, deterministic
@@ -107,9 +124,24 @@ def knn_adjacency(
     the self-join, so by default it is auto-picked from the point count
     (the explicit skew handling the north_rule asks for); AQE skew-join
     splitting covers the residual imbalance.
+
+    Physical strategy is adaptive (AQE-style, decided from a one-pass
+    occupancy statistic): when the estimated candidate volume exceeds
+    ``topk_threshold`` (default ``TOPK_REDUCE_THRESHOLD``, env override
+    ``SPARK_GRAFT_TOPK_THRESHOLD``), a bounded per-partition top-k
+    reduction (operators/topk.py) runs before the ranking window so the
+    candidate set never sits in one sorter and the shuffle carries only
+    ~k rows per (query, partition); below it the plain window wins (the
+    reduction's Arrow round-trip costs more than the sort it saves).
+    Both paths are exact under the (d, entity_id) total order — parity
+    is pinned by tests/test_spatial.py.
     """
     if res is None:
         res = auto_adjacency_res(entities.count())
+    if topk_threshold is None:
+        topk_threshold = int(
+            os.environ.get("SPARK_GRAFT_TOPK_THRESHOLD", TOPK_REDUCE_THRESHOLD)
+        )
     pts = entities.select(
         "entity_id", "lat", "lon",
         grid_cell(F.col("lat"), F.col("lon"), res).alias("cell"),
@@ -131,11 +163,26 @@ def knn_adjacency(
             ).alias("d"),
         )
     )
-    # partial per-partition top-k BEFORE the global window (the round-3
-    # scale-killer: the bare window sorted the full ~240M-row candidate
-    # set in one pass; see operators/topk.py). Candidates are
-    # hash-partitioned by cell, so the reduced set is <= 9k rows/query.
-    reduced = partial_topk(cand, ["qid"], ["d", "entity_id"], k)
+    # estimated candidate volume from per-cell occupancy: each point
+    # probes its (2*ring+1)^2-cell disk, so E[candidates] ~ disk_size *
+    # sum_c occ_c^2 under locally-uniform occupancy. One tiny agg job
+    # over the (already-persisted) entity set — O(n) rows, not O(n^2).
+    occ2 = (
+        pts.groupBy("cell")
+        .count()
+        .agg(F.sum(F.col("count") * F.col("count")).alias("s"))
+        .first()
+    )
+    est_cand = (2 * ring + 1) ** 2 * int(occ2["s"] or 0)
+    if est_cand > topk_threshold:
+        # partial per-partition top-k BEFORE the global window (the
+        # round-3 scale-killer: the bare window sorted the full
+        # ~240M-row candidate set in one pass; see operators/topk.py).
+        # Candidates are hash-partitioned by cell, so the reduced set is
+        # <= k * disk_size rows/query.
+        reduced = partial_topk(cand, ["qid"], ["d", "entity_id"], k)
+    else:
+        reduced = cand
     w = Window.partitionBy("qid").orderBy(
         F.col("d").asc(), F.col("entity_id").asc()
     )

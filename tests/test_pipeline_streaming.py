@@ -49,6 +49,20 @@ def test_extraction_text_invariant(spark, pages):
     assert bad2.count() == 0
 
 
+def test_knn_adjacency_gate_parity(spark, pages):
+    # the adaptive physical strategy (partial top-k reduction vs plain
+    # ranking window, chosen from the occupancy estimate) must be
+    # invisible in the result: force each path and compare edge lists
+    from osm_inertial_flow_partitioner_spark.sources.extract import knn_adjacency
+
+    ents = extract_entities(pages, res=5).cache()
+    via_window = knn_adjacency(ents, k=3, topk_threshold=1 << 60)
+    via_reduce = knn_adjacency(ents, k=3, topk_threshold=0)
+    a = sorted(map(tuple, via_window.collect()))
+    b = sorted(map(tuple, via_reduce.collect()))
+    assert a == b and len(a) > 0
+
+
 def test_pipeline_properties(spark, pages):
     res = run_pipeline(spark, pages, PartitionConfig(cell_sizes=[16, 64]), res=5, k=3)
     n = res.n_entities
