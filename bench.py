@@ -21,7 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def prior_round_best(
-    repo_dir: str, query: str, n_docs: int | None = None
+    repo_dir: str,
+    query: str,
+    n_docs: int | None = None,
+    cpus: int | None = None,
 ) -> float | None:
     """Best (min) recorded timing for ``query`` across prior rounds'
     BENCH_r*.json files, or None if none exist.
@@ -31,7 +34,8 @@ def prior_round_best(
     output is flat — accept both. When ``n_docs`` is given, only
     records measured at the same input size are comparable (the
     flagship time scales with SPARK_GRAFT_TILE_DOCS; comparing across
-    sizes would misfire the guard)."""
+    sizes would misfire the guard). Same for ``cpus`` (the cpu_probe
+    does fixed work, so its seconds scale ~linearly with 1/cores)."""
     import glob
 
     vals = []
@@ -39,15 +43,41 @@ def prior_round_best(
         try:
             with open(p) as f:
                 d = json.load(f)
+            rec_cpus = d.get("cpus")  # driver puts cpus at the top level
             d = d.get("parsed", d) or {}
+            rec_cpus = d.get("cpus", rec_cpus)
             if n_docs is not None and d.get("n_docs") not in (None, n_docs):
                 continue
-            t = d.get("queries", {}).get(query)
+            if cpus is not None and rec_cpus not in (None, cpus, str(cpus)):
+                continue
+            # extras (e.g. cpu_probe_sec) live at the top level, query
+            # timings under 'queries'
+            t = d.get("queries", {}).get(query, d.get(query))
             if t is not None:
                 vals.append(float(t))
         except (OSError, ValueError):
             continue
     return min(vals) if vals else None
+
+
+def cpu_probe(spark, cpus: int) -> float:
+    """Seconds for a fixed, core-saturating, pure-JVM compute: one task
+    per core, each summing a deterministic range. The q1 probe alone is
+    too NARROW to witness heavy contention — q1's small stages don't
+    saturate the host, so a co-tenant stealing half the cores slows q1
+    ~1.5x while slowing the 32-wide flagship ~3x (observed round 4:
+    identical pre-round-4-commit binary, 107s in the round-3 window vs
+    337.6s in the contended round-4 window, q1 1.7s vs 2.6s). This
+    probe's single stage is as wide as the flagship's, so its slowdown
+    factor tracks the flagship's under core theft; it is recorded per
+    run so contended windows stay identifiable across rounds."""
+    import time as _t
+
+    t0 = _t.time()
+    spark.range(0, 400_000_000, 1, numPartitions=int(cpus)).selectExpr(
+        "sum(id * 3 + 1) as s"
+    ).collect()
+    return round(_t.time() - t0, 3)
 
 
 def perf_regression_warning(
@@ -56,21 +86,32 @@ def perf_regression_warning(
     probe_sec: float | None,
     probe_ref: float | None,
     factor: float = 1.5,
+    cpu_probe_sec: float | None = None,
+    cpu_probe_ref: float | None = None,
+    cpu_factor: float = 1.3,
 ) -> str | None:
     """Guard against silent perf regressions (round-2 postmortem): warn
     when the flagship exceeds the best prior round by > ``factor`` WHILE
-    the pure-Catalyst probe (q1) is within ``factor`` of its own prior
-    best — i.e. the slowdown is in the code, not VM contention."""
+    the window looks clean. Two probes, BOTH must be clean to accuse
+    the code: the pure-Catalyst q1 (planner/scan noise) and the
+    core-saturating cpu_probe (co-tenant core theft, which q1
+    underreports — see its docstring); either probe missing (no prior
+    round recorded it) counts as clean, preserving the old behavior."""
     if prior_best is None:
         return None
     probe_clean = (
         probe_sec is None or probe_ref is None or probe_sec <= factor * probe_ref
     )
-    if probe_clean and tile_sec > factor * prior_best:
+    cpu_clean = (
+        cpu_probe_sec is None
+        or cpu_probe_ref is None
+        or cpu_probe_sec <= cpu_factor * cpu_probe_ref
+    )
+    if probe_clean and cpu_clean and tile_sec > factor * prior_best:
         return (
             f"PERF REGRESSION: tile_pipeline {tile_sec:.1f}s exceeds the best "
-            f"prior round ({prior_best:.1f}s) by >{factor}x while the Catalyst "
-            f"probe is clean — suspect a code/plan change, not VM noise"
+            f"prior round ({prior_best:.1f}s) by >{factor}x while both probes "
+            f"are clean — suspect a code/plan change, not VM noise"
         )
     return None
 
@@ -90,7 +131,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
-    extras: dict[str, float] = {}
+    extras: dict = {"cpus": int(cpus)}
+    extras["cpu_probe_sec"] = cpu_probe(spark, int(cpus))
 
     # ---- flagship: end-to-end tile pipeline over synthetic CC pages ----
     # big enough that the parallel tail (per-cell kernels) dominates the
@@ -164,6 +206,8 @@ def main() -> None:
         prior_round_best(repo, "tile_pipeline", n_docs=n_docs),
         timings.get("q1_pricing_summary"),
         prior_round_best(repo, "q1_pricing_summary"),
+        cpu_probe_sec=extras["cpu_probe_sec"],
+        cpu_probe_ref=prior_round_best(repo, "cpu_probe_sec", cpus=int(cpus)),
     )
     if warn:
         print(warn, file=sys.stderr)

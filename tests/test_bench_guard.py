@@ -28,6 +28,45 @@ def test_silent_within_band_and_without_history():
     assert perf_regression_warning(1000.0, None, 2.0, 2.0) is None
 
 
+def test_silent_when_cpu_probe_shows_core_theft():
+    # round-4 postmortem: a co-tenant stealing cores slows the NARROW
+    # q1 probe only ~1.5x while slowing the core-saturating flagship
+    # ~3x — q1 alone would read clean and the guard would accuse the
+    # code. The wide cpu_probe sees the theft (3x here) -> silent.
+    assert (
+        perf_regression_warning(
+            300.0, 100.0, 2.9, 2.0, cpu_probe_sec=9.0, cpu_probe_ref=3.0
+        )
+        is None
+    )
+    # both probes clean -> still warns
+    w = perf_regression_warning(
+        300.0, 100.0, 2.0, 2.0, cpu_probe_sec=3.1, cpu_probe_ref=3.0
+    )
+    assert w is not None and "PERF REGRESSION" in w
+    # no prior cpu_probe recorded (older rounds) -> old behavior
+    w = perf_regression_warning(
+        300.0, 100.0, 2.0, 2.0, cpu_probe_sec=9.0, cpu_probe_ref=None
+    )
+    assert w is not None
+
+
+def test_prior_round_best_cpus_matched(tmp_path):
+    # cpu_probe does FIXED work: seconds scale with 1/cores, so only
+    # same-cpus records are comparable (driver puts cpus at top level)
+    (tmp_path / "BENCH_r01.json").write_text(
+        json.dumps(
+            {"cpus": 32, "parsed": {"queries": {}, "cpu_probe_sec": 3.0}}
+        )
+    )
+    (tmp_path / "BENCH_r02.json").write_text(
+        json.dumps({"cpus": 8, "parsed": {"queries": {}, "cpu_probe_sec": 12.0}})
+    )
+    assert prior_round_best(str(tmp_path), "cpu_probe_sec", cpus=32) == 3.0
+    assert prior_round_best(str(tmp_path), "cpu_probe_sec", cpus=8) == 12.0
+    assert prior_round_best(str(tmp_path), "cpu_probe_sec") == 3.0
+
+
 def test_prior_round_best_reads_bench_files(tmp_path):
     for i, t in enumerate([123.4, 304.8]):
         (tmp_path / f"BENCH_r{i:02d}.json").write_text(
