@@ -87,14 +87,18 @@ def lsh_candidate_pairs(
     assert num_perm % bands == 0
     rows = num_perm // bands
     sigs = minhash_signatures(docs, num_perm, text_col, seed)
+    # single posexplode instead of a bands-way union of selects over the
+    # signatures aggregate: the union form re-runs the post-shuffle
+    # merge aggregation once per band (only the exchange is reused) and
+    # unions `bands` branches; one array-posexplode scans the aggregate
+    # once (same trick as simhash banding, round 2).
     band_cols = [
-        F.concat_ws("_", *[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias("bucket")
+        F.concat_ws("_", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
         for b in range(bands)
     ]
-    stacked = None
-    for b, bc in enumerate(band_cols):
-        part = sigs.select("doc_id", F.lit(b).alias("band"), bc)
-        stacked = part if stacked is None else stacked.unionByName(part)
+    stacked = sigs.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "bucket")
+    )
     if bucket_cap is not None:
         small = (
             stacked.groupBy("band", "bucket")
