@@ -283,14 +283,23 @@ def salted_repartition(
 
 def hot_cells(points: DataFrame, res: int, top: int = 16, min_share: float = 0.01) -> list[int]:
     """Identify hot cells: any cell holding more than min_share of rows
-    (driver-side metadata; used to pick salting targets)."""
-    total = points.count()
+    (driver-side metadata; used to pick salting targets).
+
+    One job, not two: the total row count is the sum of the per-cell
+    counts, recovered with a window over the post-agg per-cell frame
+    instead of a separate full count() pass over the input. The empty
+    window is single-partition by construction, but its input is
+    metadata-scale: the cell universe at the coarse salting resolution
+    bounds the frame independent of data volume."""
     rows = (
         points.withColumn("cell", grid_cell(F.col("lat"), F.col("lon"), res))
         .groupBy("cell")
         .count()
+        .withColumn("total", F.sum("count").over(Window.partitionBy()))
         .orderBy(F.desc("count"))
         .limit(top)
         .collect()
     )
-    return [r["cell"] for r in rows if r["count"] >= total * min_share]
+    return [
+        r["cell"] for r in rows if r["count"] >= int(r["total"]) * min_share
+    ]
