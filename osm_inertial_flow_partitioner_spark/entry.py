@@ -726,8 +726,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 sq.stop()
                 raise RuntimeError("streaming sessionize replay timed out")
             out = spark.table(name)
-            # pin the rows (the memory sink dies with the query object)
-            return spark.createDataFrame(out.collect(), out.schema)
+            # pin the rows (the memory sink dies with the query object).
+            # Driver-side by design at ORACLE scale only — guard against
+            # someone pointing this row at a big sf_dir and silently
+            # collecting the world (memory sink is itself driver-bound,
+            # so a file sink + re-read is the scale path, not a fix here)
+            rows = out.limit(1_000_001).collect()
+            if len(rows) > 1_000_000:
+                raise RuntimeError(
+                    "events_sessionize_stream is an oracle-scale replay "
+                    "(memory sink + driver collect); run the batch "
+                    "events_sessionize or a file-sink stream at this size"
+                )
+            return spark.createDataFrame(rows, out.schema)
         finally:
             shutil.rmtree(src, ignore_errors=True)
 
