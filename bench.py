@@ -73,9 +73,15 @@ def cpu_probe(spark, cpus: int) -> float:
     run so contended windows stay identifiable across rounds."""
     import time as _t
 
+    # warm up whole-stage codegen first — at small sizes the probe
+    # measures compile + scheduling, not CPU (400M ids read ~4s at BOTH
+    # 8 and 32 threads), defeating its purpose
+    spark.range(0, 1_000_000, 1, numPartitions=int(cpus)).selectExpr(
+        "sum(id % 7) as s"
+    ).collect()
     t0 = _t.time()
-    spark.range(0, 400_000_000, 1, numPartitions=int(cpus)).selectExpr(
-        "sum(id * 3 + 1) as s"
+    spark.range(0, 12_800_000_000, 1, numPartitions=int(cpus)).selectExpr(
+        "sum(id % 7) as s"  # bounded partials — no ANSI long overflow
     ).collect()
     return round(_t.time() - t0, 3)
 
