@@ -178,6 +178,16 @@ def main() -> None:
     extras["n_docs"] = n_docs
     extras["n_entities"] = res.n_entities
     extras["pages_gen_sec"] = round(gen_sec, 3)
+    # driver-round evidence for the scaling analysis: the serial prefix
+    # is O(log n) rounds, amortized at scale by exponential cell fan-out
+    from pyspark.sql import functions as F  # noqa: N812
+
+    extras["rounds_per_level"] = {
+        str(r["level"]): int(r["rounds"])
+        for r in res.metrics.groupBy("level")
+        .agg(F.countDistinct("round").alias("rounds"))
+        .collect()
+    }
 
     # ---- representative operator queries on the driver tables ----
     qs = queries()
