@@ -46,6 +46,21 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # Spark renders the FULL physical-plan string for the SQL
+        # listener event on every action, and tree rendering expands
+        # DAG-shared subtrees — a lineage where one lazy frame is
+        # referenced from two places per iteration renders O(2^rounds)
+        # lines even though the plan object is small. The default cap
+        # (~2 GB) makes that an unbounded driver-heap allocation: at
+        # 200k docs / local[8] the per-round checkpoint action died
+        # with OutOfMemoryError inside QueryExecution.explainString
+        # (StringConcat.append), not in any data path. Bound the render
+        # (truncation only affects UI/event strings, never semantics).
+        .config(
+            "spark.sql.maxPlanStringLength",
+            os.environ.get("SPARK_GRAFT_MAX_PLAN_STRING", "2097152"),
+        )
+        .config("spark.sql.ui.retainedExecutions", "50")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     return builder.getOrCreate()
