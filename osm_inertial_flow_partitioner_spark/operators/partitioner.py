@@ -912,8 +912,33 @@ def _run_level(
                 deferred_wbest.unpersist()
             else:
                 srows = []
-            sizes_df = new_sizes
-            empties_df = new_empties
+            # Truncate the sizes/empties lineage whenever cell-mode
+            # contributed LAZY frames this round. Those frames reference
+            # the kernel output, which references this round's small/big
+            # split of the PREVIOUS sizes_df — more than one reference
+            # per round, so while the plan object graph stays a small
+            # DAG, everything that RENDERS the plan as a tree (the
+            # explainString built for the SQL listener event on every
+            # action) expands the sharing and grows O(2^rounds): at 200k
+            # docs / local[8] (cell-mode engages early there — the mode
+            # thresholds key off defaultParallelism) round ~10's
+            # checkpoint action OOM'd a 16g driver building a >40M-line
+            # plan string. Both frames are O(#active cells) rows and
+            # their inputs are already cached and materialized by the
+            # assignment checkpoint above, so this is a sub-second
+            # cache-read job — and it only runs in cell-mode rounds (the
+            # parallel tail); the latency-sensitive direction-mode
+            # prefix keeps its literal-rooted frames and single action.
+            sizes_df = (
+                new_sizes.localCheckpoint(eager=True)
+                if sizes_frames
+                else new_sizes
+            )
+            empties_df = (
+                new_empties.localCheckpoint(eager=True)
+                if empties_frames
+                else new_empties
+            )
             level_metric_frames.append(round_metrics)
             level_unpersist.extend(to_unpersist)
             for df in round_unpersist:
