@@ -87,12 +87,17 @@ METRICS_SCHEMA = (
 )
 
 #: active cells smaller than this finish their whole recursion in one
-#: kernel call (a few MB of int64/float64 arrays per cell). 4k keeps
-#: individual finish-tasks to ~1-3s (straggler control — a full local
-#: recursion runs 10 direction jobs per sub-bisection) while still
-#: collapsing the deep tail of the bisection tree into one pass.
+#: kernel call (a few MB of int64/float64 arrays per cell). Round-5
+#: default raised 4k -> 16k: the round-4 profile showed a driver round
+#: costs ~7-25s of parallelism-independent latency while a 16k-cell
+#: local finish is ~10s of *parallel* kernel time, so finishing earlier
+#: collapses the serial tail of the bisection prefix (50k docs: 8 ->
+#: <=4 rounds/level measured) at a bounded per-task straggler cost.
+#: Cells past ``2x`` this threshold still bisect distributed (and the
+#: truly huge ones direction-parallel), so executor memory is never
+#: exceeded: a 32k-vertex finish task peaks at a few hundred MB.
 DEFAULT_LOCAL_RECURSION_THRESHOLD = int(
-    os.environ.get("TILER_FINISH_THRESHOLD", 1 << 12)
+    os.environ.get("TILER_FINISH_THRESHOLD", 1 << 14)
 )
 
 
@@ -490,6 +495,17 @@ def _run_level(
             )
             small_rows = [r for r in act_rows if r[2] < local_threshold]
             big_rows = [r for r in act_rows if r[2] >= local_threshold]
+            # promote rule: when every remaining big cell is < 2x the
+            # finish threshold, one more distributed bisection round
+            # would only produce children that all finish locally next
+            # round — skip the round and finish the borderline cells
+            # in-kernel now (straggler bound: a 2x-threshold task).
+            # Collapses the trailing dribble of the bisection prefix
+            # (50k docs: rounds/level 6 -> 4 measured at the default
+            # threshold) without ever promoting a cell that could
+            # stress executor memory.
+            if big_rows and max(r[2] for r in big_rows) < 2 * local_threshold:
+                small_rows, big_rows = act_rows, []
             n_big = len(big_rows)
             n_small = len(small_rows)
             active = spark.createDataFrame(act_rows, SIZES_SCHEMA)
@@ -505,6 +521,7 @@ def _run_level(
                 F.count("*").alias("n_active"),
                 F.sum((F.col("n") >= local_threshold).cast("int")).alias("n_big"),
                 F.max("path").alias("max_path"),
+                F.max("n").alias("max_n"),
             ).first()
             n_active = int(agg["n_active"] or 0)
             if n_active == 0:
@@ -515,8 +532,15 @@ def _run_level(
             )
             n_big = int(agg["n_big"] or 0)
             n_small = n_active - n_big
-            small_df = active.filter(F.col("n") < local_threshold)
-            big_df = active.filter(F.col("n") >= local_threshold)
+            if n_big and int(agg["max_n"]) < 2 * local_threshold:
+                # promote rule (see the mirror path above): borderline
+                # big cells finish in-kernel instead of costing a round
+                n_big, n_small = 0, n_active
+                small_df = active
+                big_df = None
+            else:
+                small_df = active.filter(F.col("n") < local_threshold)
+                big_df = active.filter(F.col("n") >= local_threshold)
             big_rows = None
         if os.environ.get("TILER_DEBUG"):
             print(f"[tiler]   sizes prep took {time.time() - _t_phase:.2f}s", flush=True)
@@ -929,16 +953,22 @@ def _run_level(
             # cache-read job — and it only runs in cell-mode rounds (the
             # parallel tail); the latency-sensitive direction-mode
             # prefix keeps its literal-rooted frames and single action.
-            sizes_df = (
-                new_sizes.localCheckpoint(eager=True)
-                if sizes_frames
-                else new_sizes
-            )
-            empties_df = (
-                new_empties.localCheckpoint(eager=True)
-                if empties_frames
-                else new_empties
-            )
+            # the per-round checkpoints are freed at LEVEL end (not per
+            # round): lazy cell-mode metric frames may recompute through
+            # them if the persisted kernel outputs are evicted, and a
+            # truncated-lineage checkpoint cannot be rebuilt once its
+            # blocks are dropped. O(rounds) metadata-scale block sets
+            # per level, all released after the metrics materialize.
+            if sizes_frames:
+                sizes_df = new_sizes.localCheckpoint(eager=True)
+                level_unpersist.append(sizes_df)
+            else:
+                sizes_df = new_sizes
+            if empties_frames:
+                empties_df = new_empties.localCheckpoint(eager=True)
+                level_unpersist.append(empties_df)
+            else:
+                empties_df = new_empties
             level_metric_frames.append(round_metrics)
             level_unpersist.extend(to_unpersist)
             for df in round_unpersist:
