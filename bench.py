@@ -38,6 +38,36 @@ def prior_round_best(
     does fixed work, so its seconds scale ~linearly with 1/cores)."""
     import glob
 
+    vals = prior_round_vals(repo_dir, query, n_docs=n_docs, cpus=cpus)
+    return min(vals) if vals else None
+
+
+def prior_round_median(
+    repo_dir: str,
+    query: str,
+    n_docs: int | None = None,
+    cpus: int | None = None,
+) -> float | None:
+    """Median recorded timing across prior rounds. Used as the
+    cpu_probe reference: with ~3x ambient co-tenant noise, comparing
+    against the all-time MIN made almost every real window look dirty
+    (cpu_factor 1.3 vs a once-ever quietest window), silently
+    suppressing the regression guard forever. The median tracks the
+    typical window instead."""
+    import statistics
+
+    vals = prior_round_vals(repo_dir, query, n_docs=n_docs, cpus=cpus)
+    return statistics.median(vals) if vals else None
+
+
+def prior_round_vals(
+    repo_dir: str,
+    query: str,
+    n_docs: int | None = None,
+    cpus: int | None = None,
+) -> list[float]:
+    import glob
+
     vals = []
     for p in sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))):
         try:
@@ -57,7 +87,7 @@ def prior_round_best(
                 vals.append(float(t))
         except (OSError, ValueError):
             continue
-    return min(vals) if vals else None
+    return vals
 
 
 def cpu_probe(spark, cpus: int) -> float:
@@ -102,7 +132,12 @@ def perf_regression_warning(
     the code: the pure-Catalyst q1 (planner/scan noise) and the
     core-saturating cpu_probe (co-tenant core theft, which q1
     underreports — see its docstring); either probe missing (no prior
-    round recorded it) counts as clean, preserving the old behavior."""
+    round recorded it) counts as clean, preserving the old behavior.
+    ``cpu_probe_ref`` should be the MEDIAN of prior rounds (see
+    prior_round_median) so the guard is not silently suppressed by a
+    single quiet historical window. When the flagship DID exceed the
+    factor but a dirty probe suppressed the accusation, the returned
+    string says so explicitly — suppression is visible, never silent."""
     if prior_best is None:
         return None
     probe_clean = (
@@ -113,11 +148,19 @@ def perf_regression_warning(
         or cpu_probe_ref is None
         or cpu_probe_sec <= cpu_factor * cpu_probe_ref
     )
-    if probe_clean and cpu_clean and tile_sec > factor * prior_best:
+    if tile_sec > factor * prior_best:
+        if probe_clean and cpu_clean:
+            return (
+                f"PERF REGRESSION: tile_pipeline {tile_sec:.1f}s exceeds the best "
+                f"prior round ({prior_best:.1f}s) by >{factor}x while both probes "
+                f"are clean — suspect a code/plan change, not VM noise"
+            )
         return (
-            f"PERF REGRESSION: tile_pipeline {tile_sec:.1f}s exceeds the best "
-            f"prior round ({prior_best:.1f}s) by >{factor}x while both probes "
-            f"are clean — suspect a code/plan change, not VM noise"
+            f"INFO: tile_pipeline {tile_sec:.1f}s exceeds the best prior round "
+            f"({prior_best:.1f}s) by >{factor}x but a contention probe is dirty "
+            f"(q1 {probe_sec} vs ref {probe_ref}, cpu_probe {cpu_probe_sec} vs "
+            f"median ref {cpu_probe_ref}) — regression guard suppressed for "
+            f"this window; re-measure in a clean window before trusting it"
         )
     return None
 
@@ -223,7 +266,7 @@ def main() -> None:
         timings.get("q1_pricing_summary"),
         prior_round_best(repo, "q1_pricing_summary"),
         cpu_probe_sec=extras["cpu_probe_sec"],
-        cpu_probe_ref=prior_round_best(repo, "cpu_probe_sec", cpus=int(cpus)),
+        cpu_probe_ref=prior_round_median(repo, "cpu_probe_sec", cpus=int(cpus)),
     )
     if warn:
         print(warn, file=sys.stderr)

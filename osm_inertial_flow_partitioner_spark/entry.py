@@ -523,6 +523,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["knn_lookup"] = knn_lookup
 
+    def knn_adjacency_topk(spark, sf):
+        """Oracle-scale exercise of the ENGAGED bounded top-k reducer:
+        the production kNN adjacency forced onto its scale path
+        (``topk_threshold=0`` keeps partial_topk — operators/topk.py —
+        in the plan, exactly as the flagship runs it past
+        TOPK_REDUCE_THRESHOLD). The DuckDB twin mirrors the
+        disk-bounded candidate semantics (grid cell at res 5, 3x3
+        longitude-wrapped latitude-clamped disk), so the hash check
+        pins the reduced path's full edge list, not just row counts."""
+        ents = _points(spark, sf).select(
+            F.col("point_id").alias("entity_id"), "lat", "lon"
+        )
+        return knn_adjacency(ents, k=3, res=5, topk_threshold=0)
+
+    q["knn_adjacency_topk"] = knn_adjacency_topk
+
     def pip_join(spark, sf):
         p = _points(spark, sf)
         polys = make_polygons_df(spark, PIP_POLYGONS, res=RES)
@@ -1571,6 +1587,36 @@ def oracle_sql() -> dict[str, str]:
             r AS (SELECT *, row_number() OVER (PARTITION BY query_id
                      ORDER BY dist_km ASC, entity_id ASC) AS rk FROM d)
             SELECT query_id, entity_id, dist_km, rk FROM r WHERE rk <= 5
+        """,
+        "knn_adjacency_topk": f"""
+            WITH p AS ({_POINTS_SQL}),
+            pts AS (SELECT point_id AS entity_id, lat, lon,
+                    (least(greatest(floor((lat+90.0)/180.0*32), 0), 31)::BIGINT * 32
+                     + ((floor((lon+180.0)/360.0*32)::BIGINT % 32) + 32) % 32) AS cell
+                    FROM p),
+            offs (dr, dc) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                                     (0,1),(1,-1),(1,0),(1,1)),
+            probes AS (
+              SELECT entity_id AS qid, lat AS qlat, lon AS qlon,
+                     ((cell // 32) + dr) * 32
+                       + (((cell % 32) + dc) % 32 + 32) % 32 AS cell
+              FROM pts CROSS JOIN offs
+              WHERE (cell // 32) + dr BETWEEN 0 AND 31
+            ),
+            cand AS (
+              SELECT qid, pts.entity_id AS entity_id, {havq} AS d
+              FROM probes JOIN pts USING (cell)
+              WHERE pts.entity_id <> qid
+            ),
+            r AS (SELECT qid, entity_id,
+                    row_number() OVER (PARTITION BY qid
+                      ORDER BY d ASC, entity_id ASC) AS rk
+                  FROM cand),
+            e AS (SELECT DISTINCT least(qid, entity_id) AS tail,
+                         greatest(qid, entity_id) AS head FROM r WHERE rk <= 3)
+            SELECT (row_number() OVER (PARTITION BY tail ORDER BY head)
+                     - 1)::BIGINT AS edge_id, tail, head
+            FROM e
         """,
         "pip_join": _pip_sql(),
         "dedup_exact": _DEDUP_EXACT_SQL,

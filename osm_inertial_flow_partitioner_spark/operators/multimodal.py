@@ -121,14 +121,106 @@ def decode_audio(payload: bytes, real: bool = False) -> np.ndarray:
     return _fake_decode(payload)
 
 
+def _y4m_decode(payload: bytes, max_frames: int = 8) -> np.ndarray:
+    """Real video decoder for the uncompressed YUV4MPEG2 (.y4m)
+    container — plain-text stream header (``YUV4MPEG2 W<w> H<h> ...``)
+    followed by ``FRAME``-delimited raw planar YCbCr frames, parseable
+    with the stdlib alone (it is what ``ffmpeg -f yuv4mpegpipe`` emits).
+    Samples up to ``max_frames`` evenly spaced frames, block-averages
+    each frame's luma plane to 16x16 (pure numpy — no PIL needed), and
+    mean-pools across the sampled frames into the SAME float32 (16, 16)
+    contract as the image/audio paths, so downstream feature pooling
+    and similarity are identical across modalities.
+
+    Supports C420 (any 420 variant), C422 and C444 chroma subsampling —
+    only the luma plane is read, but the chroma layout fixes the frame
+    stride. Anything that is not a y4m stream raises (see
+    ``decode_video``)."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream (missing magic)")
+    nl = payload.index(b"\n")
+    header = payload[:nl].decode("ascii", "replace").split(" ")
+    w = h = None
+    chroma = "420"
+    for p in header[1:]:
+        if p.startswith("W"):
+            w = int(p[1:])
+        elif p.startswith("H"):
+            h = int(p[1:])
+        elif p.startswith("C"):
+            chroma = p[1:]
+    if not w or not h:
+        raise ValueError("y4m header missing W/H")
+    luma = w * h
+    if chroma.startswith("420"):
+        frame_bytes = luma + 2 * ((w // 2) * (h // 2))
+    elif chroma.startswith("422"):
+        frame_bytes = luma + 2 * ((w // 2) * h)
+    elif chroma.startswith("444"):
+        frame_bytes = 3 * luma
+    elif chroma.startswith("mono"):
+        frame_bytes = luma
+    else:
+        raise ValueError(f"unsupported y4m chroma sampling C{chroma}")
+    # frames: b"FRAME"[params]"\n" + planar data
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"corrupt y4m: expected FRAME marker at byte {pos}")
+        fnl = payload.index(b"\n", pos)
+        start = fnl + 1
+        end = start + frame_bytes
+        if end > len(payload):
+            raise ValueError("corrupt y4m: truncated frame payload")
+        frames.append(payload[start : start + luma])  # luma plane only
+        pos = end
+    if not frames:
+        raise ValueError("y4m stream contains no frames")
+    take = np.linspace(0, len(frames) - 1, min(max_frames, len(frames))).astype(int)
+    acc = np.zeros((16, 16), dtype=np.float64)
+    for fi in take:
+        y = np.frombuffer(frames[fi], dtype=np.uint8).astype(np.float64).reshape(h, w)
+        # block-average to 16x16: pad to a multiple of 16 by edge-clamp
+        ri = np.minimum((np.arange(16)[:, None] * h) // 16, h - 1)
+        ci = np.minimum((np.arange(16)[None, :] * w) // 16, w - 1)
+        rj = np.minimum(((np.arange(16)[:, None] + 1) * h + 15) // 16, h)
+        cj = np.minimum(((np.arange(16)[None, :] + 1) * w + 15) // 16, w)
+        cs = np.zeros((h + 1, w + 1), dtype=np.float64)
+        cs[1:, 1:] = y.cumsum(0).cumsum(1)
+        area = (rj - ri) * (cj - ci)
+        acc += (
+            cs[rj, cj] - cs[ri, cj] - cs[rj, ci] + cs[ri, ci]
+        ) / np.maximum(area, 1)
+    return (acc / len(take)).astype(np.float32)
+
+
+def decode_video(payload: bytes, real: bool = False) -> np.ndarray:
+    """Video chokepoint, same pattern as ``decode_image``/``decode_audio``.
+    ``real=True`` decodes the uncompressed YUV4MPEG2 container with the
+    stdlib+numpy parser above; compressed codecs (h264/vp9/av1 — no
+    codec library in this runtime) raise NotImplementedError loudly
+    rather than decode wrongly."""
+    if real:
+        try:
+            return _y4m_decode(payload)
+        except ValueError as e:
+            raise NotImplementedError(
+                f"real video decode supports uncompressed YUV4MPEG2 (.y4m) "
+                f"only in this runtime (no h264/vp9/av1 codec library): {e}"
+            ) from e
+    return _fake_decode(payload)
+
+
 def extract_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
     """binary payload -> fixed-dim feature vector (mean-pooled rows of
     the decoded array). Real plumbing: Arrow-batched mapInPandas,
     array<float> output column; ``real_decode`` flips the chokepoint to
     the real decoders per modality — PIL for ``kind='image'``
-    (capability-gated), stdlib-wave PCM for ``kind='audio'``; video has
-    no codec in this runtime and stays on the deterministic stub even
-    under ``real_decode`` (documented known gap)."""
+    (capability-gated), stdlib-wave PCM for ``kind='audio'``,
+    stdlib+numpy YUV4MPEG2 for ``kind='video'`` (compressed codecs
+    raise NotImplementedError loudly — no codec library in this
+    runtime)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -137,7 +229,7 @@ def extract_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
                 if real_decode and kind == "audio":
                     arr = decode_audio(p, real=True)
                 elif real_decode and kind == "video":
-                    arr = _fake_decode(p)  # no video codec in runtime
+                    arr = decode_video(p, real=True)
                 else:
                     arr = decode_image(p, real_decode)
                 feats.append(arr.mean(axis=1)[:FEATURE_DIM].tolist())

@@ -285,21 +285,25 @@ def hot_cells(points: DataFrame, res: int, top: int = 16, min_share: float = 0.0
     """Identify hot cells: any cell holding more than min_share of rows
     (driver-side metadata; used to pick salting targets).
 
-    One job, not two: the total row count is the sum of the per-cell
-    counts, recovered with a window over the post-agg per-cell frame
-    instead of a separate full count() pass over the input. The empty
-    window is single-partition by construction, but its input is
-    metadata-scale: the cell universe at the coarse salting resolution
-    bounds the frame independent of data volume."""
+    One job, not two — and no unpartitioned window (which would funnel
+    the whole per-cell frame through a single sort task at fine ``res``
+    where distinct cells ~ n_points): ``rollup`` emits the per-cell
+    counts AND one grand-total row (cell IS NULL) from the same
+    distributed hash aggregate. The total row's count >= every per-cell
+    count, so it always survives the top-(top+1) limit; the driver
+    reads it back from the <= top+1 collected rows."""
     rows = (
         points.withColumn("cell", grid_cell(F.col("lat"), F.col("lon"), res))
-        .groupBy("cell")
+        .filter(F.col("cell").isNotNull())
+        .rollup("cell")
         .count()
-        .withColumn("total", F.sum("count").over(Window.partitionBy()))
         .orderBy(F.desc("count"))
-        .limit(top)
+        .limit(top + 1)
         .collect()
     )
+    total = sum(int(r["count"]) for r in rows if r["cell"] is None)
     return [
-        r["cell"] for r in rows if r["count"] >= int(r["total"]) * min_share
-    ]
+        int(r["cell"])
+        for r in rows
+        if r["cell"] is not None and r["count"] >= total * min_share
+    ][:top]

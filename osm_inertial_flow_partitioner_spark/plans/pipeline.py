@@ -67,7 +67,7 @@ def run_pipeline(
     if debug:
         print(f"[pipeline] extract took {time.time() - _t:.1f}s", flush=True)
         _t = time.time()
-    edges = knn_adjacency(entities, k=k, res=adjacency_res)
+    edges = knn_adjacency(entities, k=k, res=adjacency_res, n_points=n_entities)
     edges.persist()
 
     if verify_text_invariant:

@@ -105,12 +105,35 @@ def auto_adjacency_res(n_points: int) -> int:
 TOPK_REDUCE_THRESHOLD = 128_000_000
 
 
+def _default_topk_threshold() -> int:
+    """128M rows is calibrated to ~5 GB of sorter pages inside the
+    DEFAULT 8g local-mode heap (session.py). If SPARK_DRIVER_MEMORY
+    shrinks the sole heap, the plain-window path chosen under the
+    threshold re-approaches the round-3 single-sorter pressure — scale
+    the default linearly with the configured heap so a 4g run engages
+    the bounded reduction at 64M rows. Explicit overrides
+    (SPARK_GRAFT_TOPK_THRESHOLD or the ``topk_threshold`` argument)
+    always win."""
+    mem = os.environ.get("SPARK_DRIVER_MEMORY", "8g").strip().lower()
+    try:
+        if mem.endswith("g"):
+            gb = float(mem[:-1])
+        elif mem.endswith("m"):
+            gb = float(mem[:-1]) / 1024.0
+        else:
+            gb = float(mem) / (1 << 30)  # raw bytes
+    except ValueError:
+        gb = 8.0
+    return int(TOPK_REDUCE_THRESHOLD * min(gb / 8.0, 1.0))
+
+
 def knn_adjacency(
     entities: DataFrame,
     k: int = 4,
     res: int | None = None,
     ring: int = 1,
     topk_threshold: int | None = None,
+    n_points: int | None = None,
 ) -> DataFrame:
     """Cell-bucketed kNN graph over entities -> undirected edge list
     (edge_id, tail, head), one row per undirected edge, deterministic
@@ -137,11 +160,16 @@ def knn_adjacency(
     is pinned by tests/test_spatial.py.
     """
     if res is None:
-        res = auto_adjacency_res(entities.count())
-    if topk_threshold is None:
-        topk_threshold = int(
-            os.environ.get("SPARK_GRAFT_TOPK_THRESHOLD", TOPK_REDUCE_THRESHOLD)
+        # callers that already know the point count (run_pipeline counts
+        # the persisted entity frame anyway) pass ``n_points`` so auto
+        # resolution costs no extra driver job; the occupancy agg below
+        # is then the ONLY pre-job of this operator.
+        res = auto_adjacency_res(
+            entities.count() if n_points is None else n_points
         )
+    if topk_threshold is None:
+        env = os.environ.get("SPARK_GRAFT_TOPK_THRESHOLD")
+        topk_threshold = int(env) if env else _default_topk_threshold()
     pts = entities.select(
         "entity_id", "lat", "lon",
         grid_cell(F.col("lat"), F.col("lon"), res).alias("cell"),

@@ -18,13 +18,19 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def load(tag: str) -> dict | None:
+    """Fail FAST on a missing/garbled artifact: re-running this script
+    without the original /tmp files must not silently publish
+    'completes in Nones' into BENCH/BASELINE.md (round-4 advice)."""
     p = f"/tmp/f_{tag}.json"
     try:
         with open(p) as f:
             line = [l for l in f.read().splitlines() if l.startswith("{")][-1]
         return json.loads(line)
-    except (OSError, ValueError, IndexError):
-        return None
+    except (OSError, ValueError, IndexError) as e:
+        raise SystemExit(
+            f"required campaign artifact {p} missing or unreadable ({e}); "
+            f"refusing to curate a baseline with None placeholders"
+        ) from e
 
 
 def main() -> None:

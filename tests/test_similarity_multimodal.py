@@ -200,12 +200,12 @@ def test_real_audio_decode_wav(media):
     # non-WAV payload fails LOUDLY on the real path
     with pytest.raises(NotImplementedError):
         multimodal.decode_audio(b"\x00garbage", real=True)
-    # end-to-end: audio rows route through the wave decoder under
-    # real_decode, video rows stay on the documented stub
+    # end-to-end: audio rows route through the wave decoder and video
+    # rows through the y4m decoder under real_decode
     wav_media = media.sparkSession.createDataFrame(
         [
             (20, "audio", _wav_bytes(ramp), 0, 0, 32),
-            (21, "video", b"\x01\x02\x03", 0, 0, 1000),
+            (21, "video", _y4m_bytes([60, 180], w=32, h=32), 0, 0, 1000),
         ],
         "media_id long, kind string, payload binary, width int, "
         "height int, duration_ms int",
@@ -214,6 +214,72 @@ def test_real_audio_decode_wav(media):
     assert len(feats[20]) == 16 and len(feats[21]) == 16
     want = multimodal.decode_audio(_wav_bytes(ramp), real=True).mean(axis=1)
     assert np.allclose(feats[20], want, atol=1e-6)
+    assert np.allclose(feats[21], 120.0, atol=1e-6)  # mean of 60/180 luma
+
+
+def _y4m_bytes(frame_lumas, w=32, h=32, chroma="420jpeg"):
+    """Minimal YUV4MPEG2 stream: one constant-luma frame per entry."""
+    import numpy as np
+
+    if chroma.startswith("420"):
+        cb = 2 * ((w // 2) * (h // 2))
+    elif chroma.startswith("422"):
+        cb = 2 * ((w // 2) * h)
+    elif chroma.startswith("444"):
+        cb = 2 * w * h
+    else:
+        cb = 0
+    out = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C{chroma}\n".encode()
+    for y in frame_lumas:
+        out += b"FRAME\n"
+        out += np.full(w * h, y, dtype=np.uint8).tobytes()
+        out += b"\x80" * cb
+    return out
+
+
+def test_real_video_decode_y4m():
+    """Real video path: stdlib+numpy YUV4MPEG2 decode — frames sampled,
+    luma block-averaged to the (16, 16) float32 contract; compressed
+    payloads fail LOUDLY."""
+    import numpy as np
+
+    from osm_inertial_flow_partitioner_spark.operators import multimodal
+
+    # constant-luma frames: pooled output is the mean across frames
+    arr = multimodal.decode_video(_y4m_bytes([100], w=32, h=32), real=True)
+    assert arr.shape == (16, 16) and arr.dtype == np.float32
+    assert np.allclose(arr, 100.0)
+    arr2 = multimodal.decode_video(_y4m_bytes([0, 200], w=32, h=32), real=True)
+    assert np.allclose(arr2, 100.0)
+    # block-average exactness on a gradient: W=H=32 -> 2x2 blocks
+    grad = (
+        np.arange(32, dtype=np.uint8)[None, :].repeat(32, axis=0)
+    )
+    payload = (
+        b"YUV4MPEG2 W32 H32 F25:1 C420\n" + b"FRAME\n"
+        + grad.tobytes() + b"\x80" * (2 * 16 * 16)
+    )
+    arr3 = multimodal.decode_video(payload, real=True)
+    want_cols = grad.astype(np.float64).reshape(32, 16, 2).mean(axis=2)[0]
+    assert np.allclose(arr3[0], want_cols)
+    # chroma strides: 422 and 444 parse; frame count > max_frames samples
+    for ch in ("422", "444"):
+        a = multimodal.decode_video(
+            _y4m_bytes([50, 150, 250], w=16, h=16, chroma=ch), real=True
+        )
+        assert np.allclose(a, 150.0)
+    many = multimodal.decode_video(
+        _y4m_bytes(list(range(0, 240, 16)), w=16, h=16), real=True
+    )
+    assert many.shape == (16, 16)
+    # a compressed/non-y4m payload raises loudly, stub path still works
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_video(b"\x00\x00\x01\xb3mpeg", real=True)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_video(
+            b"YUV4MPEG2 W16 H16 C420\nFRAME\n\x00\x01", real=True
+        )  # truncated frame
+    assert multimodal.decode_video(b"\x01\x02", real=False).shape == (16, 16)
 
 
 def test_multimodal_resize_and_frames(media):
