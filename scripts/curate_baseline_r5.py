@@ -1,4 +1,70 @@
-# BENCH/BASELINE.md — measured numbers (round 5, all at shipping HEAD c56c45f)
+#!/usr/bin/env python
+"""Write BENCH/BASELINE.md from the round-5 campaign artifacts.
+
+Inputs: /tmp/f5_{50k,200k,500k}_{8,32}.json (bench.py lines at shipping
+HEAD, produced by scripts/campaign_r5.py) and /tmp/campaign5_ceil.jsonl
+(interleaved hardware-ceiling probes). One-shot curation script, kept
+in-repo so the measurement provenance is reviewable. Fails fast on any
+missing artifact (round-4 advice — never publish None placeholders).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TAGS = ["50k_8", "50k_32", "200k_8", "200k_32", "500k_8", "500k_32"]
+
+
+def load(tag: str) -> dict:
+    p = f"/tmp/f5_{tag}.json"
+    try:
+        with open(p) as f:
+            line = [l for l in f.read().splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+    except (OSError, ValueError, IndexError) as e:
+        raise SystemExit(
+            f"required campaign artifact {p} missing or unreadable ({e}); "
+            f"refusing to curate a baseline with None placeholders"
+        ) from e
+
+
+def main() -> None:
+    r = {t: load(t) for t in TAGS}
+    with open("/tmp/campaign5_ceil.jsonl") as f:
+        ceils = [json.loads(l) for l in f if l.strip()]
+    if not ceils:
+        raise SystemExit("no ceiling probes recorded")
+    head = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"],
+        capture_output=True, text=True, cwd=REPO,
+    ).stdout.strip()
+
+    def dps(tag):
+        return r[tag]["docs_per_sec"]
+
+    def tile(tag):
+        return r[tag]["queries"]["tile_pipeline"]
+
+    def eff(scale):
+        return round(dps(f"{scale}_32") / dps(f"{scale}_8") / 4, 3)
+
+    def rounds(tag):
+        return r[tag].get("rounds_per_level", {}).get("1")
+
+    ceil_best = max(c["max_efficiency"] for c in ceils)
+    ceil_rows = "\n".join(
+        f"| {c.get('ts', '?')} | {c['max_speedup']} | {c['max_efficiency']} |"
+        for c in ceils
+    )
+    probe_rows = "\n".join(
+        f"| {t} | {r[t]['cpu_probe_sec']} | {r[t]['queries']['q1_pricing_summary']} |"
+        for t in TAGS
+    )
+
+    md = f"""# BENCH/BASELINE.md — measured numbers (round 5, all at shipping HEAD {head})
 
 Protocol per BASELINE.md: same input (/root/testdata/sf0.1 tables; the
 flagship synthesises its page corpus deterministically per input_hint),
@@ -23,9 +89,9 @@ at this HEAD:
 
 | scale | rounds/level r4 | rounds/level r5 |
 |---|---|---|
-| 50k docs | 8 | 4 |
-| 200k docs | 12 | 8 |
-| 500k docs | 14 | 9 |
+| 50k docs | 8 | {rounds('50k_32')} |
+| 200k docs | 12 | {rounds('200k_32')} |
+| 500k docs | 14 | {rounds('500k_32')} |
 
 Cut semantics are unchanged — the finish kernel runs the SAME
 `recursive_bisection` the parity suites pin, and the
@@ -38,15 +104,15 @@ the builder's amortization curve.
 
 | scale | local[8] sec | local[32] sec | local[8] docs/s | local[32] docs/s | efficiency |
 |---|---|---|---|---|---|
-| 50k docs (124793 entities) | 156.039 | 140.899 | 320.4 | 354.9 | **0.277** |
-| 200k docs (500544 entities) | 671.365 | 480.636 | 297.9 | 416.1 | **0.349** |
-| 500k docs (1250052 entities) | 3831.245 | 1230.283 | 130.5 | 406.4 | **0.779** |
+| 50k docs ({r['50k_8']['n_entities']} entities) | {tile('50k_8')} | {tile('50k_32')} | {dps('50k_8')} | {dps('50k_32')} | **{eff('50k')}** |
+| 200k docs ({r['200k_8']['n_entities']} entities) | {tile('200k_8')} | {tile('200k_32')} | {dps('200k_8')} | {dps('200k_32')} | **{eff('200k')}** |
+| 500k docs ({r['500k_8']['n_entities']} entities) | {tile('500k_8')} | {tile('500k_32')} | {dps('500k_8')} | {dps('500k_32')} | **{eff('500k')}** |
 
 Efficiency read against the measured hardware ceiling
-(0.954 from the interleaved soaks below): 50k
-0.29, 200k
-0.366, 500k
-0.817.
+({ceil_best} from the interleaved soaks below): 50k
+{round(eff('50k') / ceil_best, 3)}, 200k
+{round(eff('200k') / ceil_best, 3)}, 500k
+{round(eff('500k') / ceil_best, 3)}.
 
 ## Which targets are sandbox-binding vs cluster-deferred
 
@@ -55,7 +121,7 @@ from N to 4N executors" at the 10^12-document design point on a real
 multi-executor cluster. This sandbox cannot instantiate that
 measurement — it substitutes thread-parallelism (local[8] vs
 local[32]) inside ONE JVM on a co-tenant VM whose own plain-OS
-ceiling for 8->32 processes measures 0.954x/4 in these windows.
+ceiling for 8->32 processes measures {ceil_best}x/4 in these windows.
 The split we grade against:
 
 - **Sandbox-binding** (measured here, every round): the cross-scale
@@ -71,33 +137,21 @@ The split we grade against:
   vertices has 10^5-10^6 concurrent (cell x direction x component)
   tasks within a few rounds, which is the regime the partition
   strategy targets. The honest sandbox statement of the same claim is
-  the efficiency-vs-scale trend: 0.277 (50k) ->
-  0.349 (200k) -> 0.779 (500k).
+  the efficiency-vs-scale trend: {eff('50k')} (50k) ->
+  {eff('200k')} (200k) -> {eff('500k')} (500k).
 
 ## Hardware ceiling and window contention (interleaved probes)
 
 | time | max_speedup | max_efficiency |
 |---|---|---|
-| 16:52:46 | 3.198 | 0.8 |
-| 16:59:57 | 3.014 | 0.754 |
-| 17:06:35 | 3.057 | 0.764 |
-| 17:19:29 | 3.261 | 0.815 |
-| 17:28:53 | 2.801 | 0.7 |
-| 17:36:28 | 3.467 | 0.867 |
-| 18:42:26 | 3.816 | 0.954 |
-| 19:04:34 | 2.971 | 0.743 |
+{ceil_rows}
 
 Per-run in-JVM probes (cpu_probe does fixed work — seconds scale
 ~linearly with 1/cores, so compare within a column only):
 
 | cell | cpu_probe sec | q1 sec |
 |---|---|---|
-| 50k_8 | 4.884 | 2.103 |
-| 50k_32 | 2.174 | 2.594 |
-| 200k_8 | 5.046 | 2.201 |
-| 200k_32 | 3.139 | 2.003 |
-| 500k_8 | 5.613 | 2.313 |
-| 500k_32 | 3.395 | 1.851 |
+{probe_rows}
 
 Reading the windows: the q1 values ~2-2.6s against a ~1.0s clean
 baseline (same-day tile_profile probes at this HEAD) say every
@@ -115,34 +169,13 @@ campaign (soaks 0.867/0.954 bracketing 500k_8).
 
 | query | local[8] | local[32] |
 |---|---|---|
-| tile_pipeline | 156.039 | 140.899 |
-| q1_pricing_summary | 2.103 | 2.594 |
-| q3_top_orders | 1.559 | 1.96 |
-| q5_region_revenue | 2.012 | 2.288 |
-| geo_cell_index | 0.429 | 0.727 |
-| knn_lookup | 1.113 | 1.497 |
-| pip_join | 1.286 | 1.435 |
-| dedup_exact | 2.301 | 2.371 |
-| lsh_candidate_pairs | 17.886 | 20.131 |
-| simhash | 1.407 | 4.439 |
-| simhash_near_dups | 5.482 | 8.682 |
-| text_stats | 2.576 | 4.956 |
-| corpus_filter | 5.119 | 7.874 |
-| ann_cosine_topk | 1.04 | 4.09 |
-| ann_cosine_topk_ivf | 5.45 | 10.171 |
-| geo_segment_project | 3.145 | 3.15 |
-| events_sessionize | 0.983 | 1.1 |
-| events_hourly_rollup | 0.523 | 0.557 |
-
-Raw JSON (every campaign run, fresh JVM each):
-
-- 50k_8: `{"metric": "headline_total_sec", "value": 210.453, "unit": "sec", "queries": {"tile_pipeline": 156.039, "q1_pricing_summary": 2.103, "q3_top_orders": 1.559, "q5_region_revenue": 2.012, "geo_cell_index": 0.429, "knn_lookup": 1.113, "pip_join": 1.286, "dedup_exact": 2.301, "lsh_candidate_pairs": 17.886, "simhash": 1.407, "simhash_near_dups": 5.482, "text_stats": 2.576, "corpus_filter": 5.119, "ann_cosine_topk": 1.04, "ann_cosine_topk_ivf": 5.45, "geo_segment_project": 3.145, "events_sessionize": 0.983, "events_hourly_rollup": 0.523}, "sf": 0.1, "cpus": 8, "cpu_probe_sec": 4.884, "tile_pipeline_runs": [185.558, 156.039], "docs_per_sec": 320.4, "n_docs": 50000, "n_entities": 124793, "pages_gen_sec": 5.951, "rounds_per_level": {"1": 4, "0": 1}}`
-- 50k_32: `{"metric": "headline_total_sec", "value": 218.921, "unit": "sec", "queries": {"tile_pipeline": 140.899, "q1_pricing_summary": 2.594, "q3_top_orders": 1.96, "q5_region_revenue": 2.288, "geo_cell_index": 0.727, "knn_lookup": 1.497, "pip_join": 1.435, "dedup_exact": 2.371, "lsh_candidate_pairs": 20.131, "simhash": 4.439, "simhash_near_dups": 8.682, "text_stats": 4.956, "corpus_filter": 7.874, "ann_cosine_topk": 4.09, "ann_cosine_topk_ivf": 10.171, "geo_segment_project": 3.15, "events_sessionize": 1.1, "events_hourly_rollup": 0.557}, "sf": 0.1, "cpus": 32, "cpu_probe_sec": 2.174, "tile_pipeline_runs": [145.289, 140.899], "docs_per_sec": 354.9, "n_docs": 50000, "n_entities": 124793, "pages_gen_sec": 6.618, "rounds_per_level": {"1": 4, "0": 1}}`
-- 200k_8: `{"metric": "headline_total_sec", "value": 730.781, "unit": "sec", "queries": {"tile_pipeline": 671.365, "q1_pricing_summary": 2.201, "q3_top_orders": 1.709, "q5_region_revenue": 2.597, "geo_cell_index": 0.511, "knn_lookup": 1.052, "pip_join": 1.157, "dedup_exact": 1.823, "lsh_candidate_pairs": 17.116, "simhash": 2.266, "simhash_near_dups": 8.176, "text_stats": 3.077, "corpus_filter": 6.196, "ann_cosine_topk": 1.627, "ann_cosine_topk_ivf": 5.374, "geo_segment_project": 3.17, "events_sessionize": 0.863, "events_hourly_rollup": 0.501}, "sf": 0.1, "cpus": 8, "cpu_probe_sec": 5.046, "tile_pipeline_runs": [671.365], "docs_per_sec": 297.9, "n_docs": 200000, "n_entities": 500544, "pages_gen_sec": 11.703, "rounds_per_level": {"1": 8, "0": 1}}`
-- 200k_32: `{"metric": "headline_total_sec", "value": 527.16, "unit": "sec", "queries": {"tile_pipeline": 480.636, "q1_pricing_summary": 2.003, "q3_top_orders": 1.519, "q5_region_revenue": 1.593, "geo_cell_index": 0.365, "knn_lookup": 1.064, "pip_join": 1.087, "dedup_exact": 1.632, "lsh_candidate_pairs": 15.512, "simhash": 1.323, "simhash_near_dups": 4.546, "text_stats": 2.522, "corpus_filter": 3.601, "ann_cosine_topk": 1.08, "ann_cosine_topk_ivf": 4.534, "geo_segment_project": 2.705, "events_sessionize": 0.858, "events_hourly_rollup": 0.58}, "sf": 0.1, "cpus": 32, "cpu_probe_sec": 3.139, "tile_pipeline_runs": [480.636], "docs_per_sec": 416.1, "n_docs": 200000, "n_entities": 500544, "pages_gen_sec": 8.363, "rounds_per_level": {"1": 8, "0": 1}}`
-- 500k_8: `{"metric": "headline_total_sec", "value": 3890.564, "unit": "sec", "queries": {"tile_pipeline": 3831.245, "q1_pricing_summary": 2.313, "q3_top_orders": 1.719, "q5_region_revenue": 1.907, "geo_cell_index": 0.536, "knn_lookup": 1.004, "pip_join": 1.237, "dedup_exact": 1.695, "lsh_candidate_pairs": 16.619, "simhash": 1.777, "simhash_near_dups": 6.785, "text_stats": 3.037, "corpus_filter": 6.066, "ann_cosine_topk": 1.245, "ann_cosine_topk_ivf": 6.816, "geo_segment_project": 4.149, "events_sessionize": 1.39, "events_hourly_rollup": 1.024}, "sf": 0.1, "cpus": 8, "cpu_probe_sec": 5.613, "tile_pipeline_runs": [3831.245], "docs_per_sec": 130.5, "n_docs": 500000, "n_entities": 1250052, "pages_gen_sec": 23.992, "rounds_per_level": {"1": 9, "0": 1}}`
-- 500k_32: `{"metric": "headline_total_sec", "value": 1278.613, "unit": "sec", "queries": {"tile_pipeline": 1230.283, "q1_pricing_summary": 1.851, "q3_top_orders": 1.469, "q5_region_revenue": 1.662, "geo_cell_index": 0.37, "knn_lookup": 0.94, "pip_join": 1.099, "dedup_exact": 1.583, "lsh_candidate_pairs": 15.788, "simhash": 1.224, "simhash_near_dups": 4.279, "text_stats": 2.671, "corpus_filter": 4.104, "ann_cosine_topk": 1.062, "ann_cosine_topk_ivf": 5.738, "geo_segment_project": 3.155, "events_sessionize": 0.821, "events_hourly_rollup": 0.514}, "sf": 0.1, "cpus": 32, "cpu_probe_sec": 3.395, "tile_pipeline_runs": [1230.283], "docs_per_sec": 406.4, "n_docs": 500000, "n_entities": 1250052, "pages_gen_sec": 15.152, "rounds_per_level": {"1": 9, "0": 1}}`
-
+"""
+    for k in r["50k_8"]["queries"]:
+        md += f"| {k} | {r['50k_8']['queries'][k]} | {r['50k_32']['queries'][k]} |\n"
+    md += "\nRaw JSON (every campaign run, fresh JVM each):\n\n"
+    for t in TAGS:
+        md += f"- {t}: `{json.dumps(r[t])}`\n"
+    md += """
 ## Measurement integrity (round-3 protocol, round-4/5 additions)
 
 Every number above was measured at the HEAD commit that ships it.
@@ -193,3 +226,20 @@ verify_text_invariant=True (byte-identical text per url asserted
 in-pipeline); assignment golden, resume byte-equality, and the
 45-row oracle parity are enforced by pytest and the driver's
 CORRECTNESS gate on the same code.
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(f"wrote BENCH/BASELINE.md at HEAD {head}")
+    print(
+        json.dumps(
+            {
+                "eff": {s: eff(s) for s in ("50k", "200k", "500k")},
+                "tile": {t: tile(t) for t in TAGS},
+                "ceiling": ceil_best,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
