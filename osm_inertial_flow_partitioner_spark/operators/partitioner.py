@@ -100,6 +100,11 @@ DEFAULT_LOCAL_RECURSION_THRESHOLD = int(
     os.environ.get("TILER_FINISH_THRESHOLD", 1 << 14)
 )
 
+#: set TILER_FINISH_PROMOTE=0 to disable the borderline-cell promote
+#: rule (below) — measurement knob so one binary can A/B the round-4
+#: round structure against the round-5 one in the same window.
+PROMOTE_ENABLED = os.environ.get("TILER_FINISH_PROMOTE", "1") != "0"
+
 
 def _sorted_cell_arrays(vdf: pd.DataFrame, edf: pd.DataFrame):
     vdf = vdf.sort_values("vertex_id")
@@ -504,7 +509,11 @@ def _run_level(
             # (50k docs: rounds/level 6 -> 4 measured at the default
             # threshold) without ever promoting a cell that could
             # stress executor memory.
-            if big_rows and max(r[2] for r in big_rows) < 2 * local_threshold:
+            if (
+                PROMOTE_ENABLED
+                and big_rows
+                and max(r[2] for r in big_rows) < 2 * local_threshold
+            ):
                 small_rows, big_rows = act_rows, []
             n_big = len(big_rows)
             n_small = len(small_rows)
@@ -532,7 +541,7 @@ def _run_level(
             )
             n_big = int(agg["n_big"] or 0)
             n_small = n_active - n_big
-            if n_big and int(agg["max_n"]) < 2 * local_threshold:
+            if PROMOTE_ENABLED and n_big and int(agg["max_n"]) < 2 * local_threshold:
                 # promote rule (see the mirror path above): borderline
                 # big cells finish in-kernel instead of costing a round
                 n_big, n_small = 0, n_active

@@ -165,6 +165,23 @@ minutes apart — the per-cell probes above are the evidence for
 weighing each one. The 500k cells ran in the cleanest windows of the
 campaign (soaks 0.867/0.954 bracketing 500k_8).
 
+## Same-window A/B: round-4 vs round-5 round structure (one binary, env-switched)
+
+Because the campaign cells above ran in mixed windows, the prefix
+collapse was ALSO A/B'd properly: one binary, config switched by env
+(`TILER_FINISH_THRESHOLD=4096 TILER_FINISH_PROMOTE=0` reproduces the
+round-4 structure exactly), pairs interleaved in the same window,
+fresh JVM per run, warm best-of-2, q1 probe before/after each:
+
+| pair | r4 structure best | r5 structure best | q1 after (r4/r5) |
+|---|---|---|---|
+| 1 | 142.542 | **111.368** | 2.031 / 0.841 |
+| 2 | 148.623 | **131.128** | 0.782 / 0.716 |
+
+The round-5 structure wins both pairs (12-25%); pair 2 is probe-clean
+on both sides. 111.4s is the best 50k/local[32] flagship time ever
+recorded for this repo (prior best 124.6s, round 4).
+
 ## Per-query seconds (best run per level, 50k campaign)
 
 | query | local[8] | local[32] |
