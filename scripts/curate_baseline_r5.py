@@ -153,17 +153,16 @@ Per-run in-JVM probes (cpu_probe does fixed work — seconds scale
 |---|---|---|
 {probe_rows}
 
-Reading the windows: the q1 values ~2-2.6s against a ~1.0s clean
-baseline (same-day tile_profile probes at this HEAD) say every
-campaign cell ran under mild-to-moderate co-tenant contention; the
-soak trace brackets the ceiling between 0.70 and 0.954 across the
-afternoon. Absolute seconds are therefore conservative (the same-day
-clean-window single-run profile measured the 50k/local[32] pipeline
-at 148s partition / 163s total cold, and 200k/local[32] at 510s cold
-against 480.6s here), and the efficiency ratios mix windows ~10-40
-minutes apart — the per-cell probes above are the evidence for
-weighing each one. The 500k cells ran in the cleanest windows of the
-campaign (soaks 0.867/0.954 bracketing 500k_8).
+Reading the windows: the soak trace brackets the host ceiling between
+0.70 and 0.954 across the afternoon. The first pass over the matrix
+(16:52-19:05) ran under mild-to-moderate co-tenant contention (q1
+~2-2.6s vs ~0.8-1.0s clean); the 50k and 200k/local[32] cells were
+RE-MEASURED in the cleaner evening windows (soaks 0.79-0.87) and the
+table above carries the re-measured values. The efficiency ratios
+still mix windows minutes-to-hours apart — the per-cell probes above
+are the evidence for weighing each one. The long 500k cells were not
+re-run (65+ min each); their windows were the campaign's cleanest
+(soaks 0.867/0.954 bracketing 500k_8).
 
 ## Same-window A/B: round-4 vs round-5 round structure (one binary, env-switched)
 
