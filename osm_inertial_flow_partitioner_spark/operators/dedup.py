@@ -96,25 +96,85 @@ def lsh_candidate_pairs(
         F.concat_ws("_", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
         for b in range(bands)
     ]
+    mh_cols = [f"mh{i}" for i in range(num_perm)]
     stacked = sigs.select(
-        "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "bucket")
+        "doc_id", *mh_cols, F.posexplode(F.array(*band_cols)).alias("band", "bucket")
     )
     if bucket_cap is not None:
+        # capped path: a pair's earliest matching band may have been
+        # removed by the cap, so first-match emission (below) cannot be
+        # derived from the signatures alone — keep the distinct.
         small = (
             stacked.groupBy("band", "bucket")
             .agg(F.count("*").alias("_bn"))
             .filter(F.col("_bn") <= bucket_cap)
             .select("band", "bucket")
         )
-        stacked = stacked.join(small, ["band", "bucket"], "left_semi")
-    left = stacked.select(F.col("doc_id").alias("doc1"), "band", "bucket")
-    right = stacked.select(F.col("doc_id").alias("doc2"), "band", "bucket")
+        capped = stacked.join(small, ["band", "bucket"], "left_semi")
+        left = capped.select(F.col("doc_id").alias("doc1"), "band", "bucket")
+        right = capped.select(F.col("doc_id").alias("doc2"), "band", "bucket")
+        return (
+            left.join(right, ["band", "bucket"])
+            .filter(F.col("doc1") < F.col("doc2"))
+            .select("doc1", "doc2")
+            .distinct()
+        )
+    # Materialize the (doc, signature, band, bucket) table ONCE before
+    # the self-join (the two sides carry different projections, so
+    # exchange reuse never fires and the tokenize -> md5 -> P-perm
+    # aggregation would run twice), then emit each pair ONLY from its
+    # FIRST matching band: both sides carry the full signature, so
+    # "some earlier band also matched" is a per-row JVM predicate, the
+    # output is distinct BY CONSTRUCTION, and the 9M-pair / 40M-row
+    # dedup aggregate the old `.distinct()` paid for disappears
+    # (round-6 measurement: 40.6M join rows -> 9.2M pairs at sf0.1,
+    # the distinct exchange+agg dominated the query).
+    stacked = stacked.localCheckpoint(eager=True)
+    left = stacked.select(
+        F.col("doc_id").alias("doc1"),
+        *[F.col(c).alias(f"l_{c}") for c in mh_cols],
+        "band",
+        "bucket",
+    )
+    right = stacked.select(
+        F.col("doc_id").alias("doc2"),
+        *[F.col(c).alias(f"r_{c}") for c in mh_cols],
+        "band",
+        "bucket",
+    )
+    band_eq = [
+        None
+        if b == 0
+        else _all_eq([(f"l_mh{b2 * rows + r}", f"r_mh{b2 * rows + r}") for r in range(rows)] for b2 in range(b))
+        for b in range(bands)
+    ]
+    first_match = None
+    for b in range(bands):
+        cond = F.lit(True) if b == 0 else ~band_eq[b]
+        first_match = (
+            F.when(F.col("band") == b, cond)
+            if first_match is None
+            else first_match.when(F.col("band") == b, cond)
+        )
     return (
         left.join(right, ["band", "bucket"])
         .filter(F.col("doc1") < F.col("doc2"))
+        .filter(first_match)
         .select("doc1", "doc2")
-        .distinct()
     )
+
+
+def _all_eq(band_pairs) -> "F.Column":
+    """OR over bands of (AND over that band's (left, right) column
+    pairs being equal) — 'some earlier band already matched'."""
+    any_band = None
+    for pairs in band_pairs:
+        this_band = None
+        for lc, rc in pairs:
+            eq = F.col(lc) == F.col(rc)
+            this_band = eq if this_band is None else (this_band & eq)
+        any_band = this_band if any_band is None else (any_band | this_band)
+    return any_band
 
 
 def lsh_dup_groups(
@@ -184,6 +244,10 @@ def jaccard_pairs(
         df_counts = toks.groupBy("tok").agg(F.count("*").alias("df"))
         keep = df_counts.filter(F.col("df") <= df_cap).select("tok")
         toks = toks.join(keep, "tok", "left_semi")
+    # the capped token table feeds THREE subtrees (sizes + both join
+    # sides); materialize it once instead of re-running tokenize + the
+    # df-cap semi-join per consumer (round-6 single-evaluation pass)
+    toks = toks.localCheckpoint(eager=True)
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
         toks.alias("a")
@@ -282,18 +346,52 @@ def simhash64_near_dups(
         "sim_lo",
         F.posexplode(band_keys).alias("band", "key"),
     )
+    # same single-evaluation discipline as lsh_candidate_pairs: the
+    # 64-conditional-sum signature aggregation would otherwise be
+    # computed once per join side (no exchange reuse across differing
+    # projections); checkpoint the 4-rows-per-doc band table once.
+    stacked = stacked.localCheckpoint(eager=True)
     a, b_ = stacked.alias("a"), stacked.alias("b")
     ham = F.bit_count(
         F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo"))
     ) + F.bit_count(F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi")))
+    # first-match emission (see lsh_candidate_pairs): the 4 band keys
+    # are bit slices of (sim_lo, sim_hi), which BOTH join sides already
+    # carry for the hamming refine, so "an earlier band also matched"
+    # is a per-row predicate and the result is distinct by construction
+    # — no pair-dedup aggregate over the full candidate set.
+    band_defs = [("sim_lo", 0), ("sim_lo", 16), ("sim_hi", 0), ("sim_hi", 16)]
+
+    def _key_eq(col: str, sh_amt: int):
+        mask = F.lit(0xFFFF)
+        return (
+            F.shiftright(F.col(f"a.{col}"), sh_amt).bitwiseAND(mask)
+            == F.shiftright(F.col(f"b.{col}"), sh_amt).bitwiseAND(mask)
+        )
+
+    first_match = None
+    for bi in range(len(band_defs)):
+        if bi == 0:
+            cond = F.lit(True)
+        else:
+            earlier = None
+            for col, sh_amt in band_defs[:bi]:
+                eq = _key_eq(col, sh_amt)
+                earlier = eq if earlier is None else (earlier | eq)
+            cond = ~earlier
+        first_match = (
+            F.when(F.col("band") == bi, cond)
+            if first_match is None
+            else first_match.when(F.col("band") == bi, cond)
+        )
     return (
         a.join(b_, ["band", "key"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(first_match)
         .select(
             F.col("a.doc_id").alias("doc1"),
             F.col("b.doc_id").alias("doc2"),
             ham.cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= k)
-        .distinct()
     )
