@@ -31,6 +31,8 @@ identical; we run full BFS, which vectorizes.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..config import INF_CAPACITY
@@ -61,6 +63,21 @@ class FlowGraph:
         # full argsort of base + artificial arcs
         self._base_order: np.ndarray | None = None
         self._base_keys: np.ndarray | None = None
+        self._base_csr: tuple[np.ndarray, np.ndarray] | None = None
+
+    def base_csr(self) -> tuple[np.ndarray, np.ndarray]:
+        """(off, flat) CSR over the REAL arcs only, cached per cell —
+        the implicit-terminal compiled kernel reuses it across all 10
+        direction jobs, so a job costs zero numpy graph construction."""
+        if self._base_csr is None:
+            if self._base_order is None:
+                self._base_order = np.argsort(self.eu, kind="stable")
+                self._base_keys = self.eu[self._base_order]
+            counts = np.bincount(self.eu, minlength=self.n)
+            off = np.zeros(self.n + 1, dtype=np.int64)
+            np.cumsum(counts, out=off[1:])
+            self._base_csr = (off, self._base_order)
+        return self._base_csr
 
     @classmethod
     def from_directed_edges(
@@ -326,6 +343,53 @@ def _dfs_augment(g: _ExtGraph, s: int, t: int) -> int:
     return f
 
 
+def dinic_unit_terminal_min_cut(
+    base: FlowGraph, sources: np.ndarray, sinks: np.ndarray
+) -> tuple[np.ndarray, int, int, None]:
+    """Production fast path: implicit-terminal unit-capacity compiled
+    Dinic (kernel/cdinic.py). The base CSR is built once per cell and
+    reused by every direction job, so a job costs zero numpy graph
+    construction — the per-job ``extended()``/contraction rebuilds were
+    a co-dominant cost of big finish kernels once the flow search
+    itself was compiled. Flags/value are the engine-independent minimal
+    min cut (same argument as dinic_min_cut_c); terminals must be
+    disjoint (guaranteed by the 25%-extremes selection). Returns None
+    in the graph slot — flow state stays inside the C call; use the
+    explicit engines when ``validate_min_cut`` is needed."""
+    from . import cdinic
+
+    off, flat = base.base_csr()
+    sources = np.asarray(sources, dtype=np.int64)
+    is_snk = np.zeros(base.n, dtype=np.uint8)
+    is_snk[np.asarray(sinks, dtype=np.int64)] = 1
+    max_flow, level = cdinic.dinic_unit_terminal_c(
+        base.n, base.ev, off, flat, sources, is_snk
+    )
+    flags = level >= 0
+    part_two = int(base.n) - int(flags.sum())
+    return flags, part_two, max_flow, None
+
+
+def dinic_min_cut_c(
+    base: FlowGraph, sources: np.ndarray, sinks: np.ndarray
+) -> tuple[np.ndarray, int, int, "_ExtGraph"]:
+    """Compiled-Dinic twin of ``dinic_min_cut`` (kernel/cdinic.py):
+    identical CSR order, current-arc semantics and final-BFS flags, so
+    the result is bit-identical — and engine-independent anyway (unique
+    flow value; flags = the unique minimal min cut of any max flow)."""
+    from . import cdinic
+
+    g = base.extended(sources, sinks)
+    s, t = base.n, base.n + 1
+    max_flow, level = cdinic.dinic_maxflow_c(
+        g.n, g.ev, g.ecap, g.eflow, g.off, g.flat, s, t
+    )
+    g.level[:] = np.where(level >= 0, level, INVALID_LEVEL)
+    flags = g.level[: base.n] != INVALID_LEVEL
+    part_two = int(base.n) - int(flags.sum())
+    return flags, part_two, max_flow, g
+
+
 def dinic_min_cut(
     base: FlowGraph, sources: np.ndarray, sinks: np.ndarray
 ) -> tuple[np.ndarray, int, int, "_ExtGraph"]:
@@ -498,7 +562,24 @@ def push_relabel_min_cut(
     never exceed its real out-capacity, so the cap never saturates —
     residual reachability of every source (hence the flags) and the
     max-flow value are untouched — while the initial excess flood stays
-    O(E) instead of O(INF)."""
+    O(E) instead of O(INF).
+
+    Progressive source caps (round 6): the flood is further capped at
+    ``TILER_PR_CAP0`` (default 128) per s-arc initially. All flow
+    enters through the s-arcs, so the capped network's max-flow value
+    is min(sum caps, F); when the drained preflow leaves an s-arc
+    SATURATED below its full (outcap + 1) cap, the cap may have been
+    binding — grow it 8x, re-flood the delta as excess (the arc stays
+    saturated, so no residual s->arc invalidates the labeling) and
+    keep discharging with heights intact. When every s-arc ends
+    unsaturated-or-at-full-cap the value equals the true F and the
+    final flow IS a max flow of the uncapped network, so the
+    residual-reachability flags are the same unique minimal min cut.
+    Why it pays: typical cuts here are tens of edges while outcap(S)
+    after contraction is thousands — without the cap, O(outcap) excess
+    floods in and every surplus unit walks all the way back to s
+    through the discharge loop (profiled: 223k arc ops, ~90% of a
+    direction job, for a cut of 63)."""
     g = base.extended(sources, sinks)
     n = g.n
     s, t = base.n, base.n + 1
@@ -506,12 +587,15 @@ def push_relabel_min_cut(
     m0 = len(base.eu)
     INF = np.iinfo(np.int64).max
 
-    # cap s->src arcs (even ids m0, m0+2, ...) at real out-capacity + 1
+    # cap s->src arcs (even ids m0, m0+2, ...) at real out-capacity + 1,
+    # bounded by the progressive starting cap
     ns = len(sources)
     s_arcs = m0 + 2 * np.arange(ns, dtype=np.int64)
+    cap0 = int(os.environ.get("TILER_PR_CAP0", "128"))
     if ns:
         real_outcap = np.bincount(eu[:m0], minlength=n)
-        ecap[s_arcs] = real_outcap[np.asarray(sources, dtype=np.int64)] + 1
+        cap_full = real_outcap[np.asarray(sources, dtype=np.int64)] + 1
+        ecap[s_arcs] = np.minimum(cap_full, max(cap0, 1))
 
     h = np.zeros(n, dtype=np.int64)
     ex = np.zeros(n, dtype=np.int64)
@@ -540,10 +624,36 @@ def push_relabel_min_cut(
     #: below this active-set size, numpy round overhead beats the work —
     #: finish with a sequential FIFO discharge loop (hi_pr-style)
     tail_threshold = 4096
+    def _grow_caps() -> bool:
+        """Preflow drained at the current caps: grow any s-arc that
+        ended saturated below its full cap (its cap may have been the
+        binding cut) and re-flood the delta — re-saturating the arc
+        keeps the labeling valid (no new residual arc out of s).
+        Returns True when another drain round is needed."""
+        nonlocal work, rounds_since_gr
+        if not ns:
+            return False
+        grow = (eflow[s_arcs] == ecap[s_arcs]) & (ecap[s_arcs] < cap_full)
+        if not grow.any():
+            return False
+        garcs = s_arcs[grow]
+        new_cap = np.minimum(cap_full[grow], ecap[garcs] * 8)
+        delta = new_cap - ecap[garcs]
+        ecap[garcs] = new_cap
+        eflow[garcs] += delta
+        eflow[garcs ^ 1] -= delta
+        np.add.at(ex, ev[garcs], delta)
+        global_relabel()
+        work = 0
+        rounds_since_gr = 0
+        return True
+
     while True:
         act = np.flatnonzero(ex > 0)
         act = act[(act != s) & (act != t)]
         if act.size == 0:
+            if _grow_caps():
+                continue
             break
         if act.size < tail_threshold:
             # exact distances before each chunk keep tail climbs short;
@@ -553,6 +663,8 @@ def push_relabel_min_cut(
             if _sequential_discharge(
                 g, s, t, h, ex, act, max_ops=max(m_work, 1 << 20)
             ):
+                if _grow_caps():
+                    continue
                 break
             continue
         # global relabel on either trigger: arc-scan work (the classic
@@ -624,7 +736,10 @@ def push_relabel_min_cut(
 
 
 def contracted_min_cut(
-    base: FlowGraph, sources: np.ndarray, sinks: np.ndarray
+    base: FlowGraph,
+    sources: np.ndarray,
+    sinks: np.ndarray,
+    engine=None,
 ) -> tuple[np.ndarray, int, int, "_ExtGraph"]:
     """Source/sink-set contraction + vectorized push-relabel — the
     vectorized counterpart of the reference's border-nodes variant
@@ -666,7 +781,9 @@ def contracted_min_cut(
     heads = vmap[base.ev[0::2]]
     keep = tails != heads
     cbase = FlowGraph.from_directed_edges(n_in + 2, tails[keep], heads[keep])
-    cflags, _cp2, max_flow, g = push_relabel_min_cut(
+    if engine is None:
+        engine = push_relabel_min_cut
+    cflags, _cp2, max_flow, g = engine(
         cbase, np.array([S], dtype=np.int64), np.array([T], dtype=np.int64)
     )
     flags = np.empty(n, dtype=bool)
@@ -686,13 +803,22 @@ SMALL_CUT_THRESHOLD = 8192
 def min_cut(
     base: FlowGraph, sources: np.ndarray, sinks: np.ndarray
 ) -> tuple[np.ndarray, int, int, "_ExtGraph"]:
-    """Production kernel selector: size-dispatched, results identical by
-    construction (see contracted_min_cut). TILER_KERNEL=dinic|pr forces
-    one implementation for A/B runs; default 'auto' uses Dinic for small
-    cells and source/sink-contracted push-relabel for big ones."""
-    import os
+    """Production kernel selector: results identical for every engine
+    by construction (see contracted_min_cut / dinic_min_cut_c).
+    Default 'auto' prefers the source/sink-contracted COMPILED Dinic
+    (kernel/cdinic.py — ~50x the numpy engines on the high-diameter
+    cells this partitioner cuts) and falls back to the round-5
+    size-dispatched numpy pair when no C toolchain is available.
+    TILER_KERNEL=dinic|pr|c forces one implementation for A/B runs."""
+    from . import cdinic
 
     mode = os.environ.get("TILER_KERNEL", "auto")
+    if mode == "auto" and cdinic.available():
+        mode = "cfast"
+    if mode == "cfast":
+        return dinic_unit_terminal_min_cut(base, sources, sinks)
+    if mode == "c":
+        return contracted_min_cut(base, sources, sinks, engine=dinic_min_cut_c)
     if mode == "dinic" or (mode == "auto" and base.n < SMALL_CUT_THRESHOLD):
         return dinic_min_cut(base, sources, sinks)
     return contracted_min_cut(base, sources, sinks)

@@ -88,22 +88,31 @@ METRICS_SCHEMA = (
 
 #: active cells smaller than this finish their whole recursion in one
 #: kernel call (a few MB of int64/float64 arrays per cell). Round-5
-#: default raised 4k -> 16k: the round-4 profile showed a driver round
-#: costs ~7-25s of parallelism-independent latency while a 16k-cell
-#: local finish is ~10s of *parallel* kernel time, so finishing earlier
-#: collapses the serial tail of the bisection prefix (50k docs: 8 ->
-#: <=4 rounds/level measured) at a bounded per-task straggler cost.
-#: Cells past ``2x`` this threshold still bisect distributed (and the
-#: truly huge ones direction-parallel), so executor memory is never
-#: exceeded: a 32k-vertex finish task peaks at a few hundred MB.
+#: default was 16k, sized to the ~10s-per-16k-cell numpy kernel; round
+#: 6 raised it to 64k after the compiled Dinic landed (kernel/cdinic.py
+#: — the same 16k finish now runs ~0.3s, a 28k finish ~1.5s), so a
+#: local finish beats a ~6-9s distributed round up to far larger cells
+#: (50k docs: 4 rounds/level -> 1, same-window A/B in
+#: OPTIMIZATION_r06.md). Cells past ``PROMOTE_CAP x`` this threshold
+#: still bisect distributed (and the truly huge ones
+#: direction-parallel), so executor memory is never exceeded: a
+#: 128k-vertex finish task peaks well under the 2^20-vertex
+#: executor-memory design bound.
 DEFAULT_LOCAL_RECURSION_THRESHOLD = int(
-    os.environ.get("TILER_FINISH_THRESHOLD", 1 << 14)
+    os.environ.get("TILER_FINISH_THRESHOLD", 1 << 16)
 )
 
 #: set TILER_FINISH_PROMOTE=0 to disable the borderline-cell promote
 #: rule (below) — measurement knob so one binary can A/B the round-4
 #: round structure against the round-5 one in the same window.
 PROMOTE_ENABLED = os.environ.get("TILER_FINISH_PROMOTE", "1") != "0"
+
+#: promote-rule cap: borderline big cells are promoted to an in-kernel
+#: finish only when the largest of them is below cap * threshold —
+#: with the compiled kernel a 2x-threshold (128k) finish costs ~5s in
+#: one task, comparable to one distributed round's fixed latency, so
+#: 2.0 remains the right trade (A/B'd in OPTIMIZATION_r06.md).
+PROMOTE_CAP = float(os.environ.get("TILER_PROMOTE_CAP", "2.0"))
 
 
 def _sorted_cell_arrays(vdf: pd.DataFrame, edf: pd.DataFrame):
@@ -128,7 +137,15 @@ def _make_finish_kernel(max_cell_size: int, rate: float):
         ids, lat, lon, tails, heads = _sorted_cell_arrays(vdf, edf)
         la = dict(zip(ids.tolist(), lat.tolist()))
         lo = dict(zip(ids.tolist(), lon.tolist()))
+        _t0 = time.time()
         res = recursive_bisection(ids, la, lo, tails, heads, max_cell_size, rate)
+        if os.environ.get("TILER_DEBUG"):
+            print(
+                f"[finish-kernel] root={root} path={path} n={len(ids)} "
+                f"m={len(tails)} cells={len(res.cells)} "
+                f"took={time.time() - _t0:.1f}s",
+                flush=True,
+            )
         nonempty = [c for c in res.cells if len(c)]
         n_empty = len(res.cells) - len(nonempty)
         bits = max(int(np.ceil(np.log2(len(res.cells) + 1))), 1)
@@ -240,6 +257,8 @@ def _cc_kernel(key, vdf: pd.DataFrame, edf: pd.DataFrame) -> pd.DataFrame:
     (deterministic). Enables the exact (cell x direction x component)
     decomposition: max-flow value and residual reachability decompose by
     component because no augmenting path crosses components."""
+    from ..kernel import cdinic
+
     root, path = int(key[0]), int(key[1])
     ids = np.sort(vdf["vertex_id"].to_numpy(np.int64))
     n = len(ids)
@@ -247,19 +266,24 @@ def _cc_kernel(key, vdf: pd.DataFrame, edf: pd.DataFrame) -> pd.DataFrame:
     if len(edf):
         lt = np.searchsorted(ids, edf["tail"].to_numpy(np.int64))
         lh = np.searchsorted(ids, edf["head"].to_numpy(np.int64))
-        while True:
-            # hook: each endpoint adopts the smaller label
-            lu, lv = label[lt], label[lh]
-            np.minimum.at(label, lt, lv)
-            np.minimum.at(label, lh, lu)
-            # pointer-jump to the fixpoint of label[label]
+        if cdinic.available():
+            # compiled union-find by min local index — same labels as
+            # the propagation fixpoint below, ~50x at big cells
+            label = cdinic.cc_min_label_c(n, lt, lh)
+        else:
             while True:
-                nxt = label[label]
-                if np.array_equal(nxt, label):
+                # hook: each endpoint adopts the smaller label
+                lu, lv = label[lt], label[lh]
+                np.minimum.at(label, lt, lv)
+                np.minimum.at(label, lh, lu)
+                # pointer-jump to the fixpoint of label[label]
+                while True:
+                    nxt = label[label]
+                    if np.array_equal(nxt, label):
+                        break
+                    label = nxt
+                if np.array_equal(label[lt], label[lh]):
                     break
-                label = nxt
-            if np.array_equal(label[lt], label[lh]):
-                break
     # label indices are positions of ascending ids -> min position IS
     # the min original vertex id of the component
     comp = ids[label]
@@ -512,7 +536,7 @@ def _run_level(
             if (
                 PROMOTE_ENABLED
                 and big_rows
-                and max(r[2] for r in big_rows) < 2 * local_threshold
+                and max(r[2] for r in big_rows) < PROMOTE_CAP * local_threshold
             ):
                 small_rows, big_rows = act_rows, []
             n_big = len(big_rows)
@@ -541,7 +565,11 @@ def _run_level(
             )
             n_big = int(agg["n_big"] or 0)
             n_small = n_active - n_big
-            if PROMOTE_ENABLED and n_big and int(agg["max_n"]) < 2 * local_threshold:
+            if (
+                PROMOTE_ENABLED
+                and n_big
+                and int(agg["max_n"]) < PROMOTE_CAP * local_threshold
+            ):
                 # promote rule (see the mirror path above): borderline
                 # big cells finish in-kernel instead of costing a round
                 n_big, n_small = 0, n_active

@@ -31,8 +31,16 @@ def get_spark(
             # size (a local[8] run at 200k docs OOM'd purely because its
             # partitions were 4x local[32]'s). Floor well above the core
             # count; AQE coalesces small partitions back down at runtime.
+            # Round 6 raised the floor to 4x cores: cogrouped
+            # applyInPandas kernels hash ONE GROUP to one pre-AQE
+            # partition, so with #partitions ~ #cores two of the
+            # handful of per-cell kernels regularly collide into one
+            # task and serialize (profiled: an 8-cell local-finish
+            # round ran 29s wall on 70 exec-s). 4x cores makes
+            # collisions rare while AQE still coalesces byte-light
+            # exchanges back down.
             try:
-                shuffle_partitions = max(int(str(cpus)), 32)
+                shuffle_partitions = max(4 * int(str(cpus)), 32)
             except ValueError:
                 shuffle_partitions = 32
     builder = (
@@ -41,6 +49,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE sizes post-shuffle partitions by BYTES, which starves
+        # compute-bound Python-kernel stages: the ml-finish cogroup
+        # (61 recursive-bisection kernels, ~6.5MB of shuffle data) was
+        # coalesced to 5 tasks by the default 1MB minPartitionSize —
+        # a 3-6x serialization of pure numpy compute (round-6 stage
+        # profile). 64k keeps parallelismFirst's totalBytes/parallelism
+        # target as the binding term instead. At production shuffle
+        # sizes (>> 1MB/partition) this knob is inert.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")

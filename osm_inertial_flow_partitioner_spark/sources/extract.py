@@ -95,14 +95,19 @@ def auto_adjacency_res(n_points: int) -> int:
 
 
 #: Engage the partial top-k reduction only past this estimated candidate
-#: volume. Below it the plain ranking window is faster (round-4 probe at
-#: 50k docs / 54.7M candidates / local[32]: window 14.2s vs reduce+window
-#: 25.0s — the Arrow JVM->Python transfer dominates); above it the
-#: single-JVM sorter becomes the scale-killer the reduction exists to
-#: avoid (round-3 postmortem: 240M rows -> ~23 GB of sorter pages at
-#: 200k docs). 128M rows ~ 5 GB of sorter pages — comfortably inside an
-#: 8g executor, well short of the observed collapse point.
-TOPK_REDUCE_THRESHOLD = 128_000_000
+#: volume. Below it the plain ranking window is faster — the Arrow
+#: JVM->Python transfer dominates the reduce (round-4 probe at 54.7M
+#: candidates: window 14.2s vs reduce 25.0s; round-6 re-calibration at
+#: 231.6M candidates under the 4x-cores shuffle-partition layout:
+#: window 12.4s vs reduce 64.4s, isolated noop runs — the 128-partition
+#: sort holds ~1.9M rows per sorter and spills gracefully, nowhere near
+#: the round-3 single-sorter collapse). Above it the bounded reduction
+#: still guards the pathological regime where one local-mode JVM would
+#: hold every sorter's pages at once. 512M rows ~ 20-25 GB of sorter
+#: pages across the job — the documented margin of the default 8g heap
+#: with spill, and the driver-memory scaling below shrinks it on
+#: smaller heaps.
+TOPK_REDUCE_THRESHOLD = 512_000_000
 
 
 def _default_topk_threshold() -> int:
@@ -121,7 +126,10 @@ def _default_topk_threshold() -> int:
         elif mem.endswith("m"):
             gb = float(mem[:-1]) / 1024.0
         else:
-            gb = float(mem) / (1 << 30)  # raw bytes
+            # Spark reads a suffix-less spark.driver.memory as MiB —
+            # match that (ADVICE r5: parsing as raw bytes silently
+            # forced the reduce path for SPARK_DRIVER_MEMORY=8192)
+            gb = float(mem) / 1024.0
     except ValueError:
         gb = 8.0
     return int(TOPK_REDUCE_THRESHOLD * min(gb / 8.0, 1.0))

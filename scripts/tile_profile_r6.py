@@ -38,9 +38,10 @@ def main() -> None:
         f"local[{cpus}]"
     )
     for k, v in [
-        ("spark.sql.shuffle.partitions", "32"),
+        ("spark.sql.shuffle.partitions", str(max(4 * int(cpus), 32))),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         ("spark.sql.execution.arrow.maxRecordsPerBatch", "65536"),
