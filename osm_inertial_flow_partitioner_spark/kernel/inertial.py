@@ -52,6 +52,16 @@ def pick_sources_sinks(
     return sources.astype(np.int64), sinks.astype(np.int64)
 
 
+#: run the 10 direction jobs on a thread pool for cells at least this
+#: big — the compiled kernel releases the GIL, so the jobs parallelize
+#: inside ONE local-finish task (the single-task whole-level finish the
+#: raised threshold produces would otherwise serialize ~10x the
+#: per-job C time). Small cells stay serial: pool latency would exceed
+#: the work, and the deep tail of a recursion is where MANY concurrent
+#: finish tasks coexist (oversubscription).
+PARALLEL_JOBS_MIN_N = 8192
+
+
 def best_inertial_cut(
     graph: FlowGraph,
     lat: np.ndarray,
@@ -64,8 +74,9 @@ def best_inertial_cut(
     source side (partition one).
     """
     n = graph.n
-    best = None
-    for job_idx, (a, b) in enumerate(direction_jobs()):
+
+    def run_job(job_idx: int) -> tuple:
+        a, b = direction_jobs()[job_idx]
         proj = a * lon + b * lat
         sources, sinks = pick_sources_sinks(proj, rate)
         if len(sources) == 0:
@@ -74,14 +85,32 @@ def best_inertial_cut(
             flags = np.zeros(n, dtype=bool)
             part_two, cut = n, 0
         else:
-            # production kernel: source/sink-contracted vectorized
-            # push-relabel — bit-identical to the reference-shaped Dinic
-            # (flags are the unique minimal min cut for ANY max flow);
-            # TILER_KERNEL=dinic switches back for A/B
+            # production kernel: implicit-terminal compiled Dinic —
+            # bit-identical to the reference-shaped Dinic (flags are
+            # the unique minimal min cut for ANY max flow);
+            # TILER_KERNEL=dinic|pr|c switches engines for A/B
             flags, part_two, cut, _ = min_cut(graph, sources, sinks)
         balance = abs(n // 2 - part_two)
-        key = (cut, balance, job_idx)
-        if best is None or key < best[0]:
-            best = (key, flags, part_two, cut, job_idx)
+        return ((cut, balance, job_idx), flags, part_two, cut, job_idx)
+
+    n_jobs = len(direction_jobs())
+    if n >= PARALLEL_JOBS_MIN_N:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .cdinic import available
+
+        if available():
+            graph.base_csr()  # build the shared CSR once, not per thread
+            with ThreadPoolExecutor(max_workers=n_jobs) as pool:
+                results = list(pool.map(run_job, range(n_jobs)))
+            # frozen total-order argmin — thread completion order is
+            # irrelevant, the key includes job_idx
+            best = min(results, key=lambda r: r[0])
+            return best[1], best[2], best[3], best[4]
+    best = None
+    for job_idx in range(n_jobs):
+        r = run_job(job_idx)
+        if best is None or r[0] < best[0]:
+            best = r
     assert best is not None
     return best[1], best[2], best[3], best[4]

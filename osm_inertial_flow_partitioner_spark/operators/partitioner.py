@@ -67,12 +67,20 @@ KERNEL_OUT_SCHEMA = (
     "n int, cut_edges int, part_two int, best_job int, n_empty int"
 )
 
+#: one frame carries BOTH row kinds of the all-jobs direction kernel:
+#: vertex rows (vertex_id >= 0, job = -1) with the 10 per-job cut sides
+#: packed into ``sidespack`` bit j, and per-(component, job) stat rows
+#: (vertex_id = -1) with (cut_edges, part_two) for the frozen argmin.
 DIR_OUT_SCHEMA = (
-    "root long, path long, comp long, job int, vertex_id long, "
-    "lat double, lon double, side byte, cut_edges int, part_two int"
+    "root long, path long, comp long, vertex_id long, "
+    "lat double, lon double, sidespack long, job int, "
+    "cut_edges int, part_two int"
 )
 
-CC_OUT_SCHEMA = "root long, path long, vertex_id long, comp long"
+CC_OUT_SCHEMA = (
+    "root long, path long, vertex_id long, lat double, lon double, "
+    "comp long, rolepack long"
+)
 
 ML_FINISH_SCHEMA = (
     "root long, level int, local_cell long, vertex_id long, n_cells long"
@@ -249,59 +257,95 @@ def _make_bisect_kernel(rate: float):
     return kernel
 
 
-def _cc_kernel(key, vdf: pd.DataFrame, edf: pd.DataFrame) -> pd.DataFrame:
-    """Connected components of one cell (vectorized label propagation
-    with pointer jumping, O(E log V) numpy — the Python union-find loop
-    was the serial bottleneck of mode 1's prep on big cells);
-    component id = min original vertex id in the component
-    (deterministic). Enables the exact (cell x direction x component)
-    decomposition: max-flow value and residual reachability decompose by
-    component because no augmenting path crosses components."""
-    from ..kernel import cdinic
+def _make_cc_roles_kernel(rate: float):
+    """Connected components + per-job source/sink roles of one cell in
+    ONE pass (component id = min original vertex id, deterministic).
+    Enables the exact (cell x direction x component) decomposition:
+    max-flow value and residual reachability decompose by component
+    because no augmenting path crosses components.
 
-    root, path = int(key[0]), int(key[1])
-    ids = np.sort(vdf["vertex_id"].to_numpy(np.int64))
-    n = len(ids)
-    label = np.arange(n, dtype=np.int64)
-    if len(edf):
-        lt = np.searchsorted(ids, edf["tail"].to_numpy(np.int64))
-        lh = np.searchsorted(ids, edf["head"].to_numpy(np.int64))
-        if cdinic.available():
-            # compiled union-find by min local index — same labels as
-            # the propagation fixpoint below, ~50x at big cells
-            label = cdinic.cc_min_label_c(n, lt, lh)
-        else:
-            while True:
-                # hook: each endpoint adopts the smaller label
-                lu, lv = label[lt], label[lh]
-                np.minimum.at(label, lt, lv)
-                np.minimum.at(label, lh, lu)
-                # pointer-jump to the fixpoint of label[label]
+    Round 6 folded the per-job 25%-extremes ROLE computation in here
+    (packed 2 bits per job into ``rolepack``): the kernel already holds
+    the whole cell, so the 10 global (proj asc, vertex_id asc) ranks
+    are 10 stable argsorts — replacing the Spark-side 10x crossJoin +
+    rank window + two joins that previously built ``act10`` (the
+    dominant fixed cost of a direction round). The selection is
+    bit-identical to ``pick_sources_sinks`` (same float64 a*lon+b*lat,
+    same stable argsort, k = int(n*rate) truncation)."""
+    from ..kernel.inertial import direction_jobs
+
+    jobs = direction_jobs()
+
+    def kernel(key, vdf: pd.DataFrame, edf: pd.DataFrame) -> pd.DataFrame:
+        from ..kernel import cdinic
+
+        root, path = int(key[0]), int(key[1])
+        vdf = vdf.sort_values("vertex_id")
+        ids = vdf["vertex_id"].to_numpy(np.int64)
+        lat = vdf["lat"].to_numpy(np.float64)
+        lon = vdf["lon"].to_numpy(np.float64)
+        n = len(ids)
+        label = np.arange(n, dtype=np.int64)
+        if len(edf):
+            lt = np.searchsorted(ids, edf["tail"].to_numpy(np.int64))
+            lh = np.searchsorted(ids, edf["head"].to_numpy(np.int64))
+            if cdinic.available():
+                # compiled union-find by min local index — same labels
+                # as the propagation fixpoint below, ~50x at big cells
+                label = cdinic.cc_min_label_c(n, lt, lh)
+            else:
                 while True:
-                    nxt = label[label]
-                    if np.array_equal(nxt, label):
+                    # hook: each endpoint adopts the smaller label
+                    lu, lv = label[lt], label[lh]
+                    np.minimum.at(label, lt, lv)
+                    np.minimum.at(label, lh, lu)
+                    # pointer-jump to the fixpoint of label[label]
+                    while True:
+                        nxt = label[label]
+                        if np.array_equal(nxt, label):
+                            break
+                        label = nxt
+                    if np.array_equal(label[lt], label[lh]):
                         break
-                    label = nxt
-                if np.array_equal(label[lt], label[lh]):
-                    break
-    # label indices are positions of ascending ids -> min position IS
-    # the min original vertex id of the component
-    comp = ids[label]
-    return pd.DataFrame(
-        {
-            "root": np.int64(root),
-            "path": np.int64(path),
-            "vertex_id": ids,
-            "comp": comp,
-        }
-    )
+        # label indices are positions of ascending ids -> min position
+        # IS the min original vertex id of the component
+        comp = ids[label]
+        k = int(n * rate)
+        assert 2 * k <= n, "source/sink rate must keep the sets disjoint"
+        rolepack = np.zeros(n, dtype=np.int64)
+        if k > 0:
+            for j, (a, b) in enumerate(jobs):
+                proj = a * lon + b * lat
+                order = np.argsort(proj, kind="stable")  # ties -> id
+                rolepack[order[:k]] |= np.int64(1) << (2 * j)
+                rolepack[order[n - k :]] |= np.int64(2) << (2 * j)
+        return pd.DataFrame(
+            {
+                "root": np.int64(root),
+                "path": np.int64(path),
+                "vertex_id": ids,
+                "lat": lat,
+                "lon": lon,
+                "comp": comp,
+                "rolepack": rolepack,
+            }
+        )
+
+    return kernel
 
 
 def _make_direction_kernel():
-    """Mode 1: one (cell, direction, component) triple per group — a
-    single Dinic run on one component with the GLOBAL per-cell 25%
-    source/sink selection restricted to the component (roles and the
-    frozen projection rank are precomputed Spark-side).
+    """Mode 1: one (cell, component) pair per group — the 10 direction
+    jobs run INSIDE the group on a thread pool (the compiled Dinic
+    releases the GIL), each a single min-cut on this component with the
+    GLOBAL per-cell 25% source/sink selection restricted to it
+    (membership precomputed by the cc+roles kernel as 2 bits/job; the
+    frozen (proj asc, vertex_id asc) rank order is reconstructed from
+    the same float64 projection — restricting a global total order to a
+    subset preserves it). Shipping one (cell x component) group instead
+    of ten (cell x component x job) copies cuts the cogroup shuffle
+    10x; the per-job cut sides come back packed into bit j of
+    ``sidespack`` plus one stat row per job.
 
     Exactness: augmenting paths never cross components, so the whole
     cell's max-flow value is the sum of per-component values, and the
@@ -310,15 +354,17 @@ def _make_direction_kernel():
     set of any max flow is the unique minimal min cut, Picard-Queyranne),
     so per-component arc ordering cannot change the result vs the
     reference's whole-cell run (inertial_flow.go:134-149)."""
+    from ..kernel.inertial import direction_jobs
+
+    jobs = direction_jobs()
 
     def kernel(key, vdf: pd.DataFrame, edf: pd.DataFrame) -> pd.DataFrame:
-        root, path, comp, job = int(key[0]), int(key[1]), int(key[2]), int(key[3])
+        root, path, comp = int(key[0]), int(key[1]), int(key[2])
         vdf = vdf.sort_values("vertex_id")
         ids = vdf["vertex_id"].to_numpy(np.int64)
         lat = vdf["lat"].to_numpy(np.float64)
         lon = vdf["lon"].to_numpy(np.float64)
-        rn = vdf["rn"].to_numpy(np.int64)
-        role = vdf["role"].to_numpy()
+        rolepack = vdf["rolepack"].to_numpy(np.int64)
         n = len(ids)
         if len(edf):
             edf = edf.sort_values(["tail", "edge_id"])
@@ -326,30 +372,78 @@ def _make_direction_kernel():
             lh = np.searchsorted(ids, edf["head"].to_numpy(np.int64))
         else:
             lt = lh = np.empty(0, dtype=np.int64)
-        src_mask = role == "src"
-        snk_mask = role == "snk"
-        sources = np.flatnonzero(src_mask)[np.argsort(rn[src_mask], kind="stable")]
-        sinks = np.flatnonzero(snk_mask)[np.argsort(-rn[snk_mask], kind="stable")]
-        if len(sources) == 0:
-            flags = np.zeros(n, dtype=bool)
-            part_two, cut = n, 0
+        graph = FlowGraph.from_directed_edges(n, lt, lh)
+
+        def run_job(job: int) -> tuple:
+            a, b = jobs[job]
+            proj = a * lon + b * lat
+            role = (rolepack >> (2 * job)) & 3
+            src_mask = role == 1
+            snk_mask = role == 2
+            # sources ascending / sinks descending global (proj, id)
+            # rank, restricted to this component (ids ascending ->
+            # stable argsort ties resolve by id, the frozen rule;
+            # descending = reversed ascending, helper.go:164-171)
+            sources = np.flatnonzero(src_mask)[
+                np.argsort(proj[src_mask], kind="stable")
+            ]
+            sinks = np.flatnonzero(snk_mask)[
+                np.argsort(proj[snk_mask], kind="stable")
+            ][::-1]
+            if len(sources) == 0:
+                flags = np.zeros(n, dtype=bool)
+                part_two, cut = n, 0
+            else:
+                flags, part_two, cut, _ = min_cut(graph, sources, sinks)
+            return flags, part_two, cut
+
+        from ..kernel import cdinic
+
+        if cdinic.available() and n >= 2048:
+            from concurrent.futures import ThreadPoolExecutor
+
+            graph.base_csr()  # build the shared CSR once, not per thread
+            with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+                results = list(pool.map(run_job, range(len(jobs))))
         else:
-            graph = FlowGraph.from_directed_edges(n, lt, lh)
-            flags, part_two, cut, _ = min_cut(graph, sources, sinks)
-        return pd.DataFrame(
+            results = [run_job(j) for j in range(len(jobs))]
+
+        sidespack = np.zeros(n, dtype=np.int64)
+        for j, (flags, _p2, _cut) in enumerate(results):
+            sidespack |= (~flags).astype(np.int64) << j
+        vrows = pd.DataFrame(
             {
                 "root": np.int64(root),
                 "path": np.int64(path),
                 "comp": np.int64(comp),
-                "job": np.int32(job),
                 "vertex_id": ids,
                 "lat": lat,
                 "lon": lon,
-                "side": (~flags).astype(np.int8),
-                "cut_edges": np.int32(cut),
-                "part_two": np.int32(part_two),
+                "sidespack": sidespack,
+                "job": np.int32(-1),
+                "cut_edges": np.int32(-1),
+                "part_two": np.int32(-1),
             }
         )
+        srows = pd.DataFrame(
+            {
+                "root": np.int64(root),
+                "path": np.int64(path),
+                "comp": np.int64(comp),
+                "vertex_id": np.int64(-1),
+                "lat": 0.0,
+                "lon": 0.0,
+                "sidespack": np.int64(0),
+                "job": np.arange(len(jobs), dtype=np.int32),
+                "cut_edges": np.array(
+                    [r[2] for r in results], dtype=np.int32
+                ),
+                "part_two": np.array(
+                    [r[1] for r in results], dtype=np.int32
+                ),
+            }
+        )
+        return pd.concat([vrows, srows], ignore_index=True)
 
     return kernel
 
@@ -701,7 +795,9 @@ def _run_level(
                 cc = (
                     act.groupBy("root", "path")
                     .cogroup(e_act.groupBy("root", "path"))
-                    .applyInPandas(_cc_kernel, schema=CC_OUT_SCHEMA)
+                    .applyInPandas(
+                        _make_cc_roles_kernel(rate), schema=CC_OUT_SCHEMA
+                    )
                     .persist()
                 )
                 round_unpersist.append(cc)
@@ -710,50 +806,18 @@ def _run_level(
                     cc.count()
                     print(f"[tiler]   cc pass took {time.time() - _t:.1f}s", flush=True)
 
-                def _jobs():  # fresh frame each use (self-join ambiguity)
-                    return spark.createDataFrame(
-                        [(j,) for j in range(10)], "job int"
-                    )
-
-                # global per-cell source/sink roles at the frozen order
-                # (proj asc, vertex_id asc); k = int(n * rate) truncation
-                # (helper.go:132)
+                # per-cell totals for the argmin's balance term
                 ksrc = F.broadcast(
                     spark.createDataFrame(
-                        [
-                            (r, p, s, int(s * rate))
-                            for (r, p), s in big_sizes.items()
-                        ],
-                        "root long, path long, n long, k long",
+                        [(r, p, s) for (r, p), s in big_sizes.items()],
+                        "root long, path long, n long",
                     )
                 )
-                proj = None
-                for j, (a, b) in enumerate(direction_jobs()):
-                    expr = F.lit(a) * F.col("lon") + F.lit(b) * F.col("lat")
-                    proj = (
-                        F.when(F.col("job") == j, expr)
-                        if proj is None
-                        else proj.when(F.col("job") == j, expr)
-                    )
-                w = Window.partitionBy("root", "path", "job").orderBy(
-                    F.col("proj").asc(), F.col("vertex_id").asc()
-                )
-                act10 = (
-                    act.crossJoin(F.broadcast(_jobs()))
-                    .withColumn("proj", proj)
-                    .withColumn("rn", F.row_number().over(w))
-                    .join(ksrc, ["root", "path"])
-                    .withColumn(
-                        "role",
-                        F.when(F.col("rn") <= F.col("k"), F.lit("src"))
-                        .when(F.col("rn") > F.col("n") - F.col("k"), F.lit("snk"))
-                        .otherwise(F.lit("non")),
-                    )
-                )
-                act10 = act10.join(cc, ["root", "path", "vertex_id"]).select(
-                    "root", "path", "comp", "job", "vertex_id",
-                    "lat", "lon", "rn", "role",
-                )
+                # ONE (cell x component) group carries every vertex and
+                # edge exactly once — the 10 direction jobs run on a
+                # thread pool inside the kernel (the compiled Dinic
+                # releases the GIL), so the former 10x crossJoin
+                # duplication of both cogroup sides is gone entirely.
                 # re-alias every column (fresh expr ids) — cc feeds
                 # both cogroup sides and would otherwise trip the
                 # ambiguous self-join check
@@ -763,17 +827,16 @@ def _run_level(
                     F.col("vertex_id").alias("tail"),
                     F.col("comp").alias("comp"),
                 )
-                e10 = (
-                    e_act.join(cc_e, ["root", "path", "tail"])
-                    .crossJoin(F.broadcast(_jobs()))
-                    .select(
-                        "root", "path", "comp", "job",
-                        "edge_id", "tail", "head",
-                    )
+                e_comp = e_act.join(cc_e, ["root", "path", "tail"]).select(
+                    "root", "path", "comp", "edge_id", "tail", "head"
                 )
                 out = (
-                    act10.groupBy("root", "path", "comp", "job")
-                    .cogroup(e10.groupBy("root", "path", "comp", "job"))
+                    cc.select(
+                        "root", "path", "comp", "vertex_id",
+                        "lat", "lon", "rolepack",
+                    )
+                    .groupBy("root", "path", "comp")
+                    .cogroup(e_comp.groupBy("root", "path", "comp"))
                     .applyInPandas(_make_direction_kernel(), schema=DIR_OUT_SCHEMA)
                     .persist()
                 )
@@ -798,11 +861,7 @@ def _run_level(
                 # one collect job runs against the persisted kernel
                 # output and is O(active) rows.
                 per_job = (
-                    out.groupBy("root", "path", "comp", "job")
-                    .agg(
-                        F.first("cut_edges").alias("cut_edges"),
-                        F.first("part_two").alias("part_two"),
-                    )
+                    out.filter(F.col("job") >= 0)  # per-(comp, job) stat rows
                     .groupBy("root", "path", "job")
                     .agg(
                         F.sum("cut_edges").cast("long").alias("cut_edges"),
@@ -871,11 +930,18 @@ def _run_level(
                             "root long, path long, job int",
                         )
                     )
-                chosen = out.join(wdf, ["root", "path", "job"], "inner")
+                # vertex rows carry all 10 cut sides packed; the winning
+                # job's bit selects the child side
+                chosen = (
+                    out.filter(F.col("job") < 0)
+                    .drop("job")
+                    .join(wdf, ["root", "path"], "inner")
+                )
+                side = F.expr("shiftright(sidespack, job) & 1")
                 frames.append(
                     chosen.select(
                         "root",
-                        ((F.col("path") * 2) + F.col("side").cast("long")).alias("path"),
+                        ((F.col("path") * 2) + side.cast("long")).alias("path"),
                         "vertex_id",
                         "lat",
                         "lon",

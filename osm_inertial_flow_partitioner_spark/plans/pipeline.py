@@ -70,12 +70,18 @@ def run_pipeline(
     edges = knn_adjacency(entities, k=k, res=adjacency_res, n_points=n_entities)
     edges.persist()
 
+    # the text-invariant check is independent of the partition phase
+    # (it reads only the persisted pages), so it runs CONCURRENTLY with
+    # stage B on a driver thread (guide §2.6 — Spark schedules both
+    # jobs, the check back-fills idle executors during the serial
+    # bisection prefix) and is asserted before the pipeline returns.
+    invariant_future = None
     if verify_text_invariant:
-        changed = text_invariant_check(pages, pages)
-        assert changed == 0, f"text mutated for {changed} urls"
-    if debug:
-        print(f"[pipeline] text invariant took {time.time() - _t:.1f}s", flush=True)
-        _t = time.time()
+        from concurrent.futures import ThreadPoolExecutor
+
+        _inv_pool = ThreadPoolExecutor(max_workers=1)
+        invariant_future = _inv_pool.submit(text_invariant_check, pages, pages)
+        _inv_pool.shutdown(wait=False)
 
     vertices = entities.select(
         F.col("entity_id").alias("vertex_id"), "lat", "lon"
@@ -87,6 +93,16 @@ def run_pipeline(
     )
     if debug:
         print(f"[pipeline] partition took {time.time() - _t:.1f}s", flush=True)
+
+    if invariant_future is not None:
+        _t = time.time()
+        changed = invariant_future.result()
+        assert changed == 0, f"text mutated for {changed} urls"
+        if debug:
+            print(
+                f"[pipeline] text invariant join took {time.time() - _t:.1f}s",
+                flush=True,
+            )
 
     # stage C: pack + sinks
     packed = pack_assignment(assignment, num_cells)
