@@ -598,22 +598,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qv = emb.filter(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
         )
-        sim = cosine(
+        # stage the raw cosine ONCE (`_raw`): the former plan inlined
+        # the interpreted higher-order-function fold into the window
+        # key AND the emitted sim — 2-3 evaluations per candidate pair
+        # (round-6 single-evaluation pass; values unchanged)
+        raw = cosine(
             F.transform(F.col("embedding"), lambda x: x.cast("double")),
             F.transform(F.col("qvec"), lambda x: x.cast("double")),
         )
         w = Window.partitionBy("query_id").orderBy(
-            F.round(sim, 6).desc(), F.col("vec_id").asc()
+            F.col("_s6").desc(), F.col("vec_id").asc()
         )
         return (
             emb.crossJoin(F.broadcast(qv))
             .filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn("_raw", raw)
+            .withColumn("_s6", F.round(F.col("_raw"), 6))
             .withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= 5)
             .select(
                 "query_id",
                 F.col("vec_id").alias("neighbor_id"),
-                F.round(sim, 5).alias("sim"),
+                F.round(F.col("_raw"), 5).alias("sim"),
                 "rk",
             )
         )

@@ -15,6 +15,8 @@ similarity / unnest arithmetic), the LSH variants are tested against it.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -166,6 +168,54 @@ def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
+# -- per-row cosine against a DRIVER-SIDE vector -----------------------------
+#
+# The N x C nearest-centroid assignment was a broadcast crossJoin +
+# hash-agg struct-min: every vector shipped C times through a shuffle
+# just so C interpreted cosine folds could be reduced back to one row.
+# Round-6 cost attribution (isolated noop runs, sf0.1, N=2000, C=8):
+# the crossJoin+groupBy shape costs ~4.1s while the SAME eight cosine
+# folds computed per row as plain expressions cost ~0.45s — the
+# structure, not the arithmetic, dominated. (An unrolled flat
+# element_at sum was also tried and is 3-4x SLOWER than the
+# higher-order-function fold — giant expression trees defeat codegen —
+# so the fold stays.) Against a Python-side vector the cosine keeps the
+# identical zip_with/aggregate fold, with the literal's norm
+# precomputed by the same left-to-right fold in Python
+# (IEEE-bit-identical; pinned by test_flat_cosine_bit_equals_hof_fold).
+
+
+def _py_norm(c: list[float]) -> float:
+    """norm of a literal vector via the same left fold `_norm` runs
+    (Python floats are IEEE doubles, same association order)."""
+    acc = 0.0
+    for x in c:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def _lit_arr(c: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in c])
+
+
+def _cosine_lit(v: Column, nv: Column, c: list[float]) -> Column:
+    """cosine(v, c) = dot / (norm(v) * norm(c)) with norm(v) staged in
+    ``nv`` and norm(c) folded driver-side — values identical to
+    `cosine(v, lit_array)`, minus C-1 redundant norm folds per row."""
+    return _dot(v, _lit_arr(c)) / (nv * F.lit(_py_norm(c)))
+
+
+def _least_struct_cid(sims: list[Column]) -> Column:
+    """argmin over struct(-sim, cid) across the per-centroid sim
+    columns — the same total order the former groupBy
+    ``F.min(F.struct(ns, cid))`` reduced with, as an N-ary `least`."""
+    structs = [
+        F.struct((-s).alias("ns"), F.lit(i).cast("int").alias("cid"))
+        for i, s in enumerate(sims)
+    ]
+    return structs[0] if len(structs) == 1 else F.least(*structs)
+
+
 def ivf_train(
     embeddings: DataFrame,
     n_centroids: int = 16,
@@ -179,8 +229,14 @@ def ivf_train(
     merge order, so the centroid mean is computed on 1e-6-quantized
     INTEGER component sums (exact associative addition; |x|<=100, so
     even 10^12 rows stay under int64). Init = the vectors of the C
-    smallest ids. Driver traffic is O(C * dim) per iteration."""
-    spark = embeddings.sparkSession
+    smallest ids. Driver traffic is O(C * dim) per iteration.
+
+    Round 6: the nearest-centroid assignment is a shuffle-free per-row
+    argmin over the C driver-side centroid vectors (see `_cosine_lit` /
+    `_least_struct_cid`) — the former N x C broadcast crossJoin +
+    hash-agg struct-min shipped every vector C times through a shuffle;
+    sims are bit-identical and reduce under the identical (-sim, cid)
+    total order."""
     emb = embeddings.select(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("v")
     )
@@ -189,26 +245,10 @@ def ivf_train(
     # centroids (ADVICE r2): train what exists instead of IndexError
     n_centroids = len(cents)
     for _ in range(iters):
-        cdf = F.broadcast(
-            spark.createDataFrame(
-                [(i, c) for i, c in enumerate(cents)], "cid int, cvec array<double>"
-            )
-        )
-        # nearest-centroid assignment as a HASH-AGG struct-min (sim desc,
-        # cid asc via negated sim — exact on the 9-dp-rounded double), not
-        # a row_number window: no per-_id sort at 10^9-vector scale. All
-        # rows of a group share v, so first(v) is deterministic.
-        best = (
-            emb.crossJoin(cdf)
-            .withColumn("sim", F.round(cosine(F.col("v"), F.col("cvec")), 9))
-            .groupBy("_id")
-            .agg(
-                F.min(
-                    F.struct((-F.col("sim")).alias("ns"), F.col("cid").alias("cid"))
-                ).alias("b"),
-                F.first("v").alias("v"),
-            )
-            .select("_id", F.col("b.cid").alias("cid"), "v")
+        nv = F.col("_nv")
+        sims = [F.round(_cosine_lit(F.col("v"), nv, c), 9) for c in cents]
+        best = emb.withColumn("_nv", _norm(F.col("v"))).select(
+            "_id", _least_struct_cid(sims).getField("cid").alias("cid"), "v"
         )
         comp = (
             best.select("cid", F.posexplode("v").alias("pos", "val"))
@@ -255,21 +295,20 @@ def cosine_topk_ivf(
             [(i, c) for i, c in enumerate(centroids)], "cid int, cvec array<double>"
         )
     )
-    # inverted-list assignment via hash-agg struct-min (see ivf_train):
-    # one aggregation, no per-vector sort window
+    # inverted-list assignment as a shuffle-free per-row argmin over
+    # the driver-side centroids (round 6; see ivf_train) — the former
+    # crossJoin + hash-agg struct-min shipped every vector C times
+    # through a shuffle. Identical sims and (-sim, cid) order.
+    csims = [
+        F.round(_cosine_lit(F.col("_v"), F.col("_nv"), c), 9) for c in centroids
+    ]
     lists = (
-        embeddings.crossJoin(cdf)
-        .withColumn(
-            "csim", F.round(cosine(_as_double(F.col(vec_col)), F.col("cvec")), 9)
+        embeddings.select(id_col, vec_col)
+        .withColumn("_v", _as_double(F.col(vec_col)))
+        .withColumn("_nv", _norm(F.col("_v")))
+        .select(
+            id_col, vec_col, _least_struct_cid(csims).getField("cid").alias("cid")
         )
-        .groupBy(id_col)
-        .agg(
-            F.min(
-                F.struct((-F.col("csim")).alias("ns"), F.col("cid").alias("cid"))
-            ).alias("b"),
-            F.first(vec_col).alias(vec_col),
-        )
-        .select(id_col, vec_col, F.col("b.cid").alias("cid"))
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("csim").desc(), F.col("cid").asc()
@@ -281,13 +320,17 @@ def cosine_topk_ivf(
         .filter(F.col("crk") <= nprobe)
         .select("query_id", "qvec", "cid")
     )
-    sim = cosine(_as_double(F.col(vec_col)), _as_double(F.col("qvec")))
+    # rerank: stage the raw cosine ONCE (`_raw`) — the former plan
+    # inlined the interpreted fold into both the 6-dp window key and
+    # the emitted sim, paying 2x per candidate pair.
+    raw = cosine(_as_double(F.col(vec_col)), _as_double(F.col("qvec")))
     w = Window.partitionBy("query_id").orderBy(F.col("_s6").desc(), F.col(id_col).asc())
     return (
         lists.join(F.broadcast(probes), "cid")
         .filter(F.col(id_col) != F.col("query_id"))
-        .withColumn("_s6", F.round(sim, 6))
-        .withColumn("sim", F.round(sim, sim_decimals))
+        .withColumn("_raw", raw)
+        .withColumn("_s6", F.round(F.col("_raw"), 6))
+        .withColumn("sim", F.round(F.col("_raw"), sim_decimals))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "sim", "rk")

@@ -61,6 +61,49 @@ def test_embedding_near_dup_pairs(embeddings):
     assert {(i, 45 + i) for i in range(5)} <= got
 
 
+def test_flat_cosine_bit_equals_hof_fold(embeddings):
+    """Round-6 parity pin: `_cosine_lit` (staged norm(v), driver-folded
+    literal norm) must be IEEE-bit-identical to the plain
+    `cosine(v, lit_array)` fold — same left-to-right association, same
+    per-element casts. Compared UNROUNDED with exact double equality."""
+    from osm_inertial_flow_partitioner_spark.operators.similarity import (
+        _as_double,
+        _cosine_lit,
+        _norm,
+        _py_norm,
+        cosine,
+    )
+
+    rng = np.random.default_rng(7)
+    lits = [[float(x) for x in rng.standard_normal(16) * 50] for _ in range(3)]
+    df = embeddings.withColumn("_v", _as_double(F.col("embedding"))).withColumn(
+        "_nv", _norm(F.col("_v"))
+    )
+    for c in lits:
+        hof = cosine(
+            F.col("_v"), F.array(*[F.lit(float(x)) for x in c])
+        )
+        staged = _cosine_lit(F.col("_v"), F.col("_nv"), c)
+        bad = df.select(hof.alias("h"), staged.alias("f")).filter(
+            # exact double equality — no rounding tolerance
+            ~(F.col("h") == F.col("f"))
+        )
+        assert bad.count() == 0
+    # and the Python-side literal norm matches the Catalyst fold
+    one = df.limit(1)
+    for c in lits:
+        norm_catalyst = one.select(
+            F.sqrt(
+                F.aggregate(
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x * x,
+                )
+            ).alias("n")
+        ).first()["n"]
+        assert norm_catalyst == _py_norm(c)
+
+
 @pytest.fixture(scope="module")
 def dup_docs(spark):
     rows = []
