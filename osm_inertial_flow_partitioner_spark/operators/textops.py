@@ -101,17 +101,75 @@ def fingerprint(text: Column) -> Column:
 
 
 def document_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    t = F.col(text_col)
-    return docs.select(
+    """One row of text statistics per document.
+
+    Round 6: the outputs are composed from STAGED intermediates
+    (`_toks`, `_n`, `_nd`, `_punct`, per-language marker counts) instead
+    of independent expression trees — the single-Project form
+    re-tokenized the document ~15x per row (token_count, distinct,
+    avg_len, stopword, quality's nested counts, 4 lang filters are all
+    separate `split(lower(text))` evaluations, and higher-order
+    functions are CodegenFallback so nothing de-duplicates them at
+    runtime). Staged aliases are expensive and multiply-referenced, so
+    CollapseProject keeps them materialized once per row; every output
+    value is the identical expression over the identical intermediates."""
+    t = F.col("_toks")
+    n = F.col("_n")
+    staged = (
+        docs.select("doc_id", F.col(text_col).alias("_text"))
+        .withColumn("_toks", tokens(F.col("_text")))
+        .withColumn("_n", F.size(t))
+        .withColumn("_nd", F.size(F.array_distinct(t)))
+        .withColumn(
+            "_punct",
+            F.round(
+                (F.length(F.col("_text"))
+                 - F.length(F.regexp_replace(F.col("_text"), r"[^\w\s]", "")))
+                / F.greatest(F.length(F.col("_text")), F.lit(1)),
+                6,
+            ),
+        )
+    )
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    marker_cols = {
+        lang: F.size(
+            F.filter(t, lambda x: F.array_contains(F.array(*[F.lit(m) for m in ms]), x))
+        ).alias(f"_sc_{lang}")
+        for lang, ms in LANG_MARKERS.items()
+    }
+    staged = staged.select("*", *marker_cols.values())
+    # lang argmax over the staged marker counts — same traversal order
+    # and tie rule as lang_id
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(LANG_MARKERS):
+        cond = F.col(f"_sc_{lang}") > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, F.col(f"_sc_{lang}")).otherwise(best_score)
+    diversity = F.col("_nd") / F.greatest(n, F.lit(1))
+    len_ok = F.when((n >= 10) & (n <= 5000), F.lit(1.0)).otherwise(F.lit(0.5))
+    return staged.select(
         "doc_id",
-        token_count(t).cast("long").alias("n_tokens"),
-        distinct_token_count(t).cast("long").alias("n_distinct_tokens"),
-        avg_token_len(t).alias("avg_token_len"),
-        stopword_ratio(t).alias("stopword_ratio"),
-        punct_ratio(t).alias("punct_ratio"),
-        quality_score(t).alias("quality"),
-        lang_id(t).alias("lang_pred"),
-        fingerprint(t).alias("fingerprint"),
+        n.cast("long").alias("n_tokens"),
+        F.col("_nd").cast("long").alias("n_distinct_tokens"),
+        F.round(
+            F.aggregate(t, F.lit(0.0), lambda acc, x: acc + F.length(x))
+            / F.greatest(n, F.lit(1)),
+            6,
+        ).alias("avg_token_len"),
+        F.round(
+            F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+            / F.greatest(n, F.lit(1)),
+            6,
+        ).alias("stopword_ratio"),
+        F.col("_punct").alias("punct_ratio"),
+        F.round(
+            len_ok * (F.lit(0.5) + F.lit(0.5) * diversity)
+            - F.lit(0.25) * F.col("_punct"),
+            6,
+        ).alias("quality"),
+        best.alias("lang_pred"),
+        fingerprint(F.col("_text")).alias("fingerprint"),
     )
 
 
