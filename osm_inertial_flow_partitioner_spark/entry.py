@@ -23,8 +23,7 @@ from .functions.geo import (
     central_angle_rad,
     coord6_nudge,
     destination_point,
-    gc_perp_distance_m,
-    gc_project,
+    gc_project_staged,
     grid_cell,
     haversine_km,
 )
@@ -406,13 +405,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             coord6_nudge((k * 29) % 1200 / 10.0 - 59.95).alias("blat"),
             coord6_nudge((k * 71 + 7) % 3400 / 10.0 - 169.95).alias("blon"),
         )
-        args = [F.col(x) for x in ("plat", "plon", "alat", "alon", "blat", "blon")]
-        jlat, jlon = gc_project(*args)
+        # staged projection (functions/geo.py round-6 notes): the
+        # Column-form gc_project inlined its tree once per consumer —
+        # proj_lat, proj_lon AND the perpendicular distance (which
+        # re-projects internally) — a 255 KB single-Project plan whose
+        # driver processing + codegen dominated this 150k-row query.
+        # Identical arithmetic; dist_m = haversine(p, unrounded
+        # projection) * 1000 exactly as gc_perp_distance_m computes it.
+        s = gc_project_staged(s)
         return s.select(
             "point_id",
-            F.round(jlat, 6).alias("proj_lat"),
-            F.round(jlon, 6).alias("proj_lon"),
-            F.round(gc_perp_distance_m(*args), 3).alias("dist_m"),
+            F.round(F.col("_jlat"), 6).alias("proj_lat"),
+            F.round(F.col("_jlon"), 6).alias("proj_lon"),
+            F.round(
+                haversine_km(
+                    F.col("plat"), F.col("plon"), F.col("_jlat"), F.col("_jlon")
+                )
+                * F.lit(1000.0),
+                3,
+            ).alias("dist_m"),
         )
 
     q["geo_segment_project"] = geo_segment_project
@@ -460,9 +471,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             coord6_nudge((lid * 499 + 11) % 3400 / 10.0 - 169.95).alias("plon"),
         )
         base = segs.filter(F.col("seq") == lid % 3).join(qs, "line_id")
-        args = [F.col(x) for x in ("plat", "plon", "alat", "alon", "blat", "blon")]
-        r_lat, r_lon = gc_project(*args)
-        gcp = base.select("line_id", r_lat.alias("r_lat"), r_lon.alias("r_lon"))
+        # staged projection — same round-6 plan-size fix as
+        # geo_segment_project; identical arithmetic
+        gcp = gc_project_staged(base).select(
+            "line_id",
+            F.col("_jlat").alias("r_lat"),
+            F.col("_jlon").alias("r_lon"),
+        )
         diff = F.round(
             F.abs(
                 central_angle_rad(

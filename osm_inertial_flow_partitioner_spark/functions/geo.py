@@ -206,6 +206,115 @@ def gc_project(
             F.degrees(F.atan2(ry, rx)))
 
 
+def gc_project_staged(df, out_lat: str = "_jlat", out_lon: str = "_jlon"):
+    """`gc_project` over the columns (plat, plon, alat, alon, blat,
+    blon) of ``df``, computed through STAGED intermediate columns
+    instead of one inlined expression tree.
+
+    Why (round 6): the Column form duplicates its subtrees per consumer
+    — jlat, jlon and the perpendicular distance each inline the full
+    projection, and rx/ry/rz re-inline qx/qn/on_arc internally — so
+    geo_segment_project's single Project rendered a 255 KB plan whose
+    driver-side processing + codegen dominated a 150k-row query.
+    Staging each subexpression as a column evaluates the IDENTICAL
+    arithmetic (same ops, same order — CollapseProject keeps expensive
+    multiply-referenced aliases materialized) with a ~3 KB plan.
+    Intermediates are dropped; ``df`` gains ``out_lat``/``out_lon``."""
+    C = F.col
+    df = df.withColumns(
+        {
+            "_gla": F.radians(C("alat")),
+            "_glo": F.radians(C("alon")),
+            "_glb": F.radians(C("blat")),
+            "_gob": F.radians(C("blon")),
+            "_glp": F.radians(C("plat")),
+            "_gop": F.radians(C("plon")),
+        }
+    ).withColumns(
+        {
+            "_ax": F.cos(C("_gla")) * F.cos(C("_glo")),
+            "_ay": F.cos(C("_gla")) * F.sin(C("_glo")),
+            "_az": F.sin(C("_gla")),
+            "_bx": F.cos(C("_glb")) * F.cos(C("_gob")),
+            "_by": F.cos(C("_glb")) * F.sin(C("_gob")),
+            "_bz": F.sin(C("_glb")),
+            "_px": F.cos(C("_glp")) * F.cos(C("_gop")),
+            "_py": F.cos(C("_glp")) * F.sin(C("_gop")),
+            "_pz": F.sin(C("_glp")),
+        }
+    )
+    df = df.withColumns(
+        {
+            "_nx": C("_ay") * C("_bz") - C("_az") * C("_by"),
+            "_ny": C("_az") * C("_bx") - C("_ax") * C("_bz"),
+            "_nz": C("_ax") * C("_by") - C("_ay") * C("_bx"),
+        }
+    )
+    df = df.withColumn(
+        "_d",
+        (C("_px") * C("_nx") + C("_py") * C("_ny") + C("_pz") * C("_nz"))
+        / (C("_nx") * C("_nx") + C("_ny") * C("_ny") + C("_nz") * C("_nz")),
+    ).withColumns(
+        {
+            "_qx": C("_px") - C("_d") * C("_nx"),
+            "_qy": C("_py") - C("_d") * C("_ny"),
+            "_qz": C("_pz") - C("_d") * C("_nz"),
+        }
+    )
+    df = df.withColumns(
+        {
+            "_det_naq": (
+                (C("_ny") * C("_az") - C("_nz") * C("_ay")) * C("_qx")
+                + (C("_nz") * C("_ax") - C("_nx") * C("_az")) * C("_qy")
+                + (C("_nx") * C("_ay") - C("_ny") * C("_ax")) * C("_qz")
+            ),
+            "_det_qbn": (
+                (C("_qy") * C("_bz") - C("_qz") * C("_by")) * C("_nx")
+                + (C("_qz") * C("_bx") - C("_qx") * C("_bz")) * C("_ny")
+                + (C("_qx") * C("_by") - C("_qy") * C("_bx")) * C("_nz")
+            ),
+            "_da2": (C("_px") - C("_ax")) ** 2
+            + (C("_py") - C("_ay")) ** 2
+            + (C("_pz") - C("_az")) ** 2,
+            "_db2": (C("_px") - C("_bx")) ** 2
+            + (C("_py") - C("_by")) ** 2
+            + (C("_pz") - C("_bz")) ** 2,
+            "_qn": F.sqrt(
+                C("_qx") * C("_qx") + C("_qy") * C("_qy") + C("_qz") * C("_qz")
+            ),
+        }
+    )
+    on_arc = (C("_det_naq") > 0) & (C("_det_qbn") > 0)
+    use_a = C("_da2") <= C("_db2")
+    df = df.withColumns(
+        {
+            "_rx": F.when(on_arc, C("_qx") / C("_qn")).otherwise(
+                F.when(use_a, C("_ax")).otherwise(C("_bx"))
+            ),
+            "_ry": F.when(on_arc, C("_qy") / C("_qn")).otherwise(
+                F.when(use_a, C("_ay")).otherwise(C("_by"))
+            ),
+            "_rz": F.when(on_arc, C("_qz") / C("_qn")).otherwise(
+                F.when(use_a, C("_az")).otherwise(C("_bz"))
+            ),
+        }
+    )
+    df = df.withColumns(
+        {
+            out_lat: F.degrees(
+                F.asin(F.least(F.greatest(C("_rz"), F.lit(-1.0)), F.lit(1.0)))
+            ),
+            out_lon: F.degrees(F.atan2(C("_ry"), C("_rx"))),
+        }
+    )
+    return df.drop(
+        "_gla", "_glo", "_glb", "_gob", "_glp", "_gop",
+        "_ax", "_ay", "_az", "_bx", "_by", "_bz", "_px", "_py", "_pz",
+        "_nx", "_ny", "_nz", "_d", "_qx", "_qy", "_qz",
+        "_det_naq", "_det_qbn", "_da2", "_db2", "_qn", "_rx", "_ry", "_rz",
+    )
+
+
 def gc_perp_distance_m(
     plat: Column,
     plon: Column,
