@@ -167,17 +167,58 @@ def knn_adjacency(
     Both paths are exact under the (d, entity_id) total order — parity
     is pinned by tests/test_spatial.py.
     """
-    if res is None:
-        # callers that already know the point count (run_pipeline counts
-        # the persisted entity frame anyway) pass ``n_points`` so auto
-        # resolution costs no extra driver job; the occupancy agg below
-        # is then the ONLY pre-job of this operator.
-        res = auto_adjacency_res(
-            entities.count() if n_points is None else n_points
-        )
+    n = entities.count() if n_points is None else n_points
+    auto_res = res is None
+    if auto_res:
+        res = auto_adjacency_res(n)
     if topk_threshold is None:
         env = os.environ.get("SPARK_GRAFT_TOPK_THRESHOLD")
         topk_threshold = int(env) if env else _default_topk_threshold()
+
+    def occ2_at(r: int) -> int:
+        # sum of squared per-cell occupancy — one tiny O(n)-row agg job
+        row = (
+            entities.groupBy(
+                grid_cell(F.col("lat"), F.col("lon"), r).alias("cell")
+            )
+            .count()
+            .agg(F.sum(F.col("count") * F.col("count")).alias("s"))
+            .first()
+        )
+        return int(row["s"] or 0)
+
+    # estimated candidate volume from per-cell occupancy: each point
+    # probes its (2*ring+1)^2-cell disk, so E[candidates] ~ disk_size *
+    # sum_c occ_c^2 under locally-uniform occupancy.
+    disk = (2 * ring + 1) ** 2
+    est_cand = disk * occ2_at(res)
+    if auto_res:
+        # density-measured refinement (round 6; guide §2.5 input skew):
+        # auto_adjacency_res targets O(k)-scale disk occupancy from the
+        # COUNT alone, but clustered inputs (the bench's pseudo-geotags
+        # lie on a 0.1-degree modular lattice) concentrate points far
+        # past the uniform assumption — measured at 50k docs: 438
+        # candidates/point at the formula's res 11, a 54.7M-row
+        # candidate join whose haversine + window-group-limit was the
+        # single most expensive stage of the flagship (~160 CPU-s).
+        # Bump the resolution until the MEASURED estimate is near the
+        # target (each step is one sub-second agg job on the persisted
+        # entity set; candidates shrink ~4x per bit, floor-bounded by
+        # exact-duplicate sites). The target keeps a couple hundred
+        # disk candidates per point — two orders above k, so the
+        # ranked result is insensitive to the disk shrink (measured at
+        # 50k docs: res 11 -> 12 changes 1.1% of edges — boundary ties
+        # past the disk — and cuts the candidate stage 31s -> 8s; one
+        # more bit would drop BELOW the data's site spacing and change
+        # 13% of edges, which the target forbids). Explicit ``res``
+        # arguments (all oracle-checked queries) never enter this loop.
+        target = max(192, 48 * k) * max(n, 1)
+        while res < 14 and est_cand > target:
+            nxt = disk * occ2_at(res + 1)
+            if nxt >= est_cand:  # duplicate-site floor reached
+                break
+            res += 1
+            est_cand = nxt
     pts = entities.select(
         "entity_id", "lat", "lon",
         grid_cell(F.col("lat"), F.col("lon"), res).alias("cell"),
@@ -199,17 +240,6 @@ def knn_adjacency(
             ).alias("d"),
         )
     )
-    # estimated candidate volume from per-cell occupancy: each point
-    # probes its (2*ring+1)^2-cell disk, so E[candidates] ~ disk_size *
-    # sum_c occ_c^2 under locally-uniform occupancy. One tiny agg job
-    # over the (already-persisted) entity set — O(n) rows, not O(n^2).
-    occ2 = (
-        pts.groupBy("cell")
-        .count()
-        .agg(F.sum(F.col("count") * F.col("count")).alias("s"))
-        .first()
-    )
-    est_cand = (2 * ring + 1) ** 2 * int(occ2["s"] or 0)
     if est_cand > topk_threshold:
         # partial per-partition top-k BEFORE the global window (the
         # round-3 scale-killer: the bare window sorted the full
