@@ -25,6 +25,7 @@ identical to the reference's; only the labels are canonicalized.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -124,40 +125,95 @@ def recursive_bisection(
             "(int(n*0.25) == 0 endpoints on an oversized cell)"
         )
 
-    def coords(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        if isinstance(lat_by_vertex, dict):
-            la = np.array([lat_by_vertex[int(v)] for v in ids], dtype=np.float64)
-            lo = np.array([lon_by_vertex[int(v)] for v in ids], dtype=np.float64)
-        else:
-            la = np.asarray(lat_by_vertex, dtype=np.float64)[ids]
-            lo = np.asarray(lon_by_vertex, dtype=np.float64)[ids]
-        return la, lo
-
     vertex_ids = np.sort(np.asarray(vertex_ids, dtype=np.int64))
+    # Align coordinates to the sorted root ids ONCE — the former per-cell
+    # dict/dense lookup paid a Python loop (or a huge-index gather) per
+    # cell per round; a positional searchsorted gather is pure numpy.
+    if isinstance(lat_by_vertex, dict):
+        root_lat = np.array(
+            [lat_by_vertex[int(v)] for v in vertex_ids], dtype=np.float64
+        )
+        root_lon = np.array(
+            [lon_by_vertex[int(v)] for v in vertex_ids], dtype=np.float64
+        )
+    else:
+        root_lat = np.asarray(lat_by_vertex, dtype=np.float64)[vertex_ids]
+        root_lon = np.asarray(lon_by_vertex, dtype=np.float64)[vertex_ids]
+
     result = BisectionResult()
     final_nonempty: list[np.ndarray] = []
     n_empty = 0
-    active = [vertex_ids]
-    rnd = 0
-    while active:
-        nxt: list[np.ndarray] = []
-        for cell in active:
-            t_c, h_c = _edges_within(cell, tails, heads)
-            la, lo = coords(cell)
-            side, stats = bisect_once(cell, la, lo, t_c, h_c, rate)
-            stats.round = rnd
-            result.stats.append(stats)
-            one = cell[side == 0]
-            two = cell[side == 1]
-            for part in (one, two):
-                if len(part) == 0:
-                    n_empty += 1  # empty side still consumes a cell id
-                elif len(part) < max_cell_size:
-                    final_nonempty.append(part)
-                else:
-                    nxt.append(part)
-        active = nxt
-        rnd += 1
+    # Each work item carries ITS OWN already-filtered edge arrays: a
+    # child's edges derive from its parent's (both-endpoints-inside
+    # split below), so the former per-cell `_edges_within` rescan of the
+    # FULL root edge list every round — O(E log n) x 2^round — becomes
+    # one O(E_parent) split per bisection.
+    t0, h0 = _edges_within(vertex_ids, tails, heads)
+    active: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = [
+        (vertex_ids, t0, h0)
+    ]
+
+    def bisect_cell(item):
+        cell, t_c, h_c = item
+        pos = np.searchsorted(vertex_ids, cell)
+        side, stats = bisect_once(
+            cell, root_lat[pos], root_lon[pos], t_c, h_c, rate
+        )
+        # split the parent's edges by the side of BOTH endpoints —
+        # cross-cut edges drop, exactly what _edges_within(child) kept
+        st = side[np.searchsorted(cell, t_c)]
+        sh = side[np.searchsorted(cell, h_c)]
+        same = st == sh
+        one_e = same & (st == 0)
+        two_e = same & (st == 1)
+        return (
+            stats,
+            (cell[side == 0], t_c[one_e], h_c[one_e]),
+            (cell[side == 1], t_c[two_e], h_c[two_e]),
+        )
+
+    # Cells of one round are independent (identical cut set to the
+    # reference FIFO); for a big entering cell — the raised finish
+    # threshold hands a whole level's recursion to ONE Spark task — the
+    # deep rounds hold many below-PARALLEL_JOBS_MIN_N cells whose 10
+    # direction jobs run serially, so the CELL loop is threaded instead
+    # (the compiled Dinic releases the GIL). Small entering cells (the
+    # many-concurrent-tasks regime, e.g. the multilevel finish) stay
+    # fully serial — no pool, no oversubscription. pool.map preserves
+    # order, so stats/cells sequences are identical to the serial loop.
+    pool = None
+    if len(vertex_ids) >= 32768:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .cdinic import available
+
+        if available():
+            pool = ThreadPoolExecutor(
+                max_workers=min(16, os.cpu_count() or 4)
+            )
+    try:
+        rnd = 0
+        while active:
+            if pool is not None and len(active) > 1:
+                outs = list(pool.map(bisect_cell, active))
+            else:
+                outs = [bisect_cell(item) for item in active]
+            nxt: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+            for stats, one_item, two_item in outs:
+                stats.round = rnd
+                result.stats.append(stats)
+                for part in (one_item, two_item):
+                    if len(part[0]) == 0:
+                        n_empty += 1  # empty side still consumes a cell id
+                    elif len(part[0]) < max_cell_size:
+                        final_nonempty.append(part[0])
+                    else:
+                        nxt.append(part)
+            active = nxt
+            rnd += 1
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False)
 
     final_nonempty.sort(key=lambda c: int(c[0]))  # min original id (ascending arrays)
     result.cells = final_nonempty + [
