@@ -20,7 +20,7 @@ import os
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.geo import grid_cell, grid_disk, haversine_km
+from ..functions.geo import cell_parent, grid_cell, grid_disk, haversine_km
 from ..operators.topk import partial_topk
 
 GEO_PATTERN = r"geo:(-?\d+\.\d+),(-?\d+\.\d+)"
@@ -38,17 +38,24 @@ def extract_entities(pages: DataFrame, res: int = 6) -> DataFrame:
         )
         .filter(F.size("ms") > 0)
         .select("url", F.posexplode("ms").alias("pos", "m"))
+        # one split on [:,] ("geo:lat,lon" -> [geo, lat, lon]) instead
+        # of two regexp_replace+split trees per coordinate; the parsed
+        # strings — hence the doubles — are identical (round 6)
+        .withColumn("_parts", F.split(F.col("m"), "[:,]"))
         .select(
             "url",
             "pos",
-            F.split(F.regexp_replace("m", "^geo:", ""), ",")[0]
-            .cast("double")
-            .alias("lat"),
-            F.split(F.regexp_replace("m", "^geo:", ""), ",")[1]
-            .cast("double")
-            .alias("lon"),
+            F.col("_parts")[1].cast("double").alias("lat"),
+            F.col("_parts")[2].cast("double").alias("lon"),
         )
     )
+    # pin the regex pass BEFORE range partitioning: repartitionByRange
+    # SAMPLES its input to pick boundaries, so feeding it the raw plan
+    # ran the full-text regexp twice per run (sample pass + write pass
+    # — round-6 stage profile: the two ~30 MB text scans were the
+    # extract phase's whole cost). The persist bounds it to one pass;
+    # released right after the partitioning is pinned below.
+    mentions = mentions.persist()
     # distributed dense ids: partition offsets + local row_number.
     # The range partitioning MUST be pinned (localCheckpoint) before the
     # two passes — re-materialization may re-sample different range
@@ -62,6 +69,7 @@ def extract_entities(pages: DataFrame, res: int = 6) -> DataFrame:
         .withColumn("pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
+    mentions.unpersist()
     counts = {r["pid"]: r["cnt"] for r in part.groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
     offsets = {}
     acc = 0
@@ -187,11 +195,46 @@ def knn_adjacency(
         )
         return int(row["s"] or 0)
 
+    def occ2_ladder(r0: int, bits: int) -> list[int]:
+        # sum occ^2 at r0, r0+1, ..., r0+bits in ONE job: counts at the
+        # finest resolution aggregate EXACTLY to each coarser level
+        # (cell_parent is a bit shift of both grid coordinates), so the
+        # ladder is a chain of tiny aggs over the first groupBy's
+        # output, combined into a single one-row action — the former
+        # one-job-per-probed-resolution cost of the refinement loop
+        # collapses to one driver round-trip (round 6).
+        rf = r0 + bits
+        counts = entities.groupBy(
+            grid_cell(F.col("lat"), F.col("lon"), rf).alias("cell")
+        ).count()
+        scalars = []
+        cur, r = counts, rf
+        while True:
+            scalars.append(
+                cur.agg(F.sum(F.col("count") * F.col("count")).alias(f"s{r}"))
+            )
+            if r == r0:
+                break
+            cur = (
+                cur.groupBy(cell_parent(F.col("cell"), r, r - 1).alias("cell"))
+                .agg(F.sum("count").alias("count"))
+            )
+            r -= 1
+        combined = scalars[-1]  # s{r0} first
+        for sc in reversed(scalars[:-1]):
+            combined = combined.crossJoin(sc)
+        row = combined.first()
+        return [int(row[f"s{r0 + i}"] or 0) for i in range(bits + 1)]
+
     # estimated candidate volume from per-cell occupancy: each point
     # probes its (2*ring+1)^2-cell disk, so E[candidates] ~ disk_size *
     # sum_c occ_c^2 under locally-uniform occupancy.
     disk = (2 * ring + 1) ** 2
-    est_cand = disk * occ2_at(res)
+    if auto_res:
+        ladder = occ2_ladder(res, min(2, 14 - res))
+        est_cand = disk * ladder[0]
+    else:
+        est_cand = disk * occ2_at(res)
     if auto_res:
         # density-measured refinement (round 6; guide §2.5 input skew):
         # auto_adjacency_res targets O(k)-scale disk occupancy from the
@@ -213,8 +256,12 @@ def knn_adjacency(
         # 13% of edges, which the target forbids). Explicit ``res``
         # arguments (all oracle-checked queries) never enter this loop.
         target = max(192, 48 * k) * max(n, 1)
+        step = 0
         while res < 14 and est_cand > target:
-            nxt = disk * occ2_at(res + 1)
+            step += 1
+            nxt = disk * (
+                ladder[step] if step < len(ladder) else occ2_at(res + 1)
+            )
             if nxt >= est_cand:  # duplicate-site floor reached
                 break
             res += 1
