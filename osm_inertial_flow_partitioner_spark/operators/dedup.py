@@ -289,8 +289,13 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     the halves stay separate so neither engine touches the sign bit of
     a 64-bit integer. One shuffle: 64 conditional-sum agg columns."""
     toks = _doc_tokens(docs, text_col)
-    toks = toks.withColumn("tlo", _md5_slice32(F.col("tok"), 1)).withColumn(
-        "thi", _md5_slice32(F.col("tok"), 9)
+    # stage the md5 hex ONCE — the two 32-bit slices previously carried
+    # independent F.md5 trees, hashing every token twice (round 6;
+    # values identical, the slices read the same staged digest)
+    toks = (
+        toks.withColumn("_md5", F.md5(F.col("tok")))
+        .withColumn("tlo", F.conv(F.substring(F.col("_md5"), 1, 8), 16, 10).cast("long"))
+        .withColumn("thi", F.conv(F.substring(F.col("_md5"), 9, 8), 16, 10).cast("long"))
     )
     aggs = []
     for half, src in (("lo", "tlo"), ("hi", "thi")):
