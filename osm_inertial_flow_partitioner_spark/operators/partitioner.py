@@ -1190,7 +1190,10 @@ def multilevel_partition(
         checkpoint.config_token = derive_config_token(
             cell_sizes, rate, local_recursion_threshold
         )
+    _t_dbg = time.time()
     n = vertices.count()
+    if os.environ.get("TILER_DEBUG"):
+        print(f"[tiler] vertices count took {time.time() - _t_dbg:.1f}s", flush=True)
     metrics_frames: list[DataFrame] = []
 
     assign = vertices.select(
@@ -1218,6 +1221,7 @@ def multilevel_partition(
         )
         if os.environ.get("TILER_DEBUG"):
             print(f"[tiler] relabel level={L-1} took {time.time() - _t:.1f}s", flush=True)
+        mx_bound = top_u - 1  # bisection only stops once every cell < U
     else:
         labeled = assign.select(
             "vertex_id", "lat", "lon", F.lit(0).cast("long").alias("cell_id")
@@ -1225,6 +1229,7 @@ def multilevel_partition(
         c = 1
         empty_cells = spark.createDataFrame([], "root long")
         level_sizes = spark.createDataFrame([(0, 1, n)], SIZES_SCHEMA)
+        mx_bound = n  # the single top cell holds exactly n vertices
     num_cells[L - 1] = c
     level_frames.append(
         labeled.select("vertex_id", F.lit(L - 1).alias("level"), "cell_id")
@@ -1241,8 +1246,12 @@ def multilevel_partition(
         # resumable unit (snapshots are per (level, round); the collapsed
         # pass spans several levels, so it gets a unit snapshot instead
         # — resumable runs keep the fast path).
-        mx_row = level_sizes.groupBy().agg(F.max("n").alias("mx")).first()
-        mx = int(mx_row["mx"]) if mx_row["mx"] is not None else 0
+        # every cell the level above emitted is < that level's max size
+        # BY CONSTRUCTION (its bisection loop only stops when no cell
+        # >= U), so the ml-finish decision needs no distributed max —
+        # the former one-row agg here still cost a full driver-blocking
+        # job per level through the lazy relabel lineage (round 6)
+        mx = mx_bound
         if 0 < mx < local_recursion_threshold:
             _t_ml = time.time()
             lvls = list(range(level, -1, -1))
@@ -1270,6 +1279,11 @@ def multilevel_partition(
                     if checkpoint is not None
                     else out.localCheckpoint(eager=True)
                 )
+                if os.environ.get("TILER_DEBUG"):
+                    print(
+                        f"[tiler]   ml cogroup+checkpoint took {time.time() - _t_ml:.1f}s",
+                        flush=True,
+                    )
             # per-bisection lineage is collapsed inside the finish kernel;
             # keep the metrics contract with one summary row per
             # (level, entering root): n vertices, empty-cell count,
@@ -1343,6 +1357,7 @@ def multilevel_partition(
             labeled.select("vertex_id", F.lit(level).alias("level"), "cell_id")
         )
         current = labeled
+        mx_bound = u - 1  # this level's bisection bound for the next decision
 
     result = level_frames[0]
     for fr in level_frames[1:]:

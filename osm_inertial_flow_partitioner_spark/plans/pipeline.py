@@ -69,6 +69,9 @@ def run_pipeline(
         _t = time.time()
     edges = knn_adjacency(entities, k=k, res=adjacency_res, n_points=n_entities)
     edges.persist()
+    if debug:
+        print(f"[pipeline] adjacency setup took {time.time() - _t:.1f}s", flush=True)
+        _t = time.time()
 
     # the text-invariant check is independent of the partition phase
     # (it reads only the persisted pages), so it runs CONCURRENTLY with

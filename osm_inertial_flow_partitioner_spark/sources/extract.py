@@ -198,33 +198,40 @@ def knn_adjacency(
     def occ2_ladder(r0: int, bits: int) -> list[int]:
         # sum occ^2 at r0, r0+1, ..., r0+bits in ONE job: counts at the
         # finest resolution aggregate EXACTLY to each coarser level
-        # (cell_parent is a bit shift of both grid coordinates), so the
-        # ladder is a chain of tiny aggs over the first groupBy's
-        # output, combined into a single one-row action — the former
-        # one-job-per-probed-resolution cost of the refinement loop
-        # collapses to one driver round-trip (round 6).
+        # (cell_parent is a bit shift of both grid coordinates). Each
+        # fine cell explodes into its (level, parent) pairs, then two
+        # tiny partial-aggregating shuffles produce one row per level —
+        # a fixed-depth plan for any ladder height. (A chain of
+        # per-level parent aggs was also measured: one exchange PER
+        # level made it slower than separate jobs; this shape A/B'd
+        # fastest of the three — round 6.)
         rf = r0 + bits
         counts = entities.groupBy(
             grid_cell(F.col("lat"), F.col("lon"), rf).alias("cell")
-        ).count()
-        scalars = []
-        cur, r = counts, rf
-        while True:
-            scalars.append(
-                cur.agg(F.sum(F.col("count") * F.col("count")).alias(f"s{r}"))
-            )
-            if r == r0:
-                break
-            cur = (
-                cur.groupBy(cell_parent(F.col("cell"), r, r - 1).alias("cell"))
-                .agg(F.sum("count").alias("count"))
-            )
-            r -= 1
-        combined = scalars[-1]  # s{r0} first
-        for sc in reversed(scalars[:-1]):
-            combined = combined.crossJoin(sc)
-        row = combined.first()
-        return [int(row[f"s{r0 + i}"] or 0) for i in range(bits + 1)]
+        ).agg(F.count("*").alias("cnt"))
+        pairs = counts.select(
+            F.posexplode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            cell_parent(F.col("cell"), rf, r).alias("p"),
+                        )
+                        for r in range(r0, rf + 1)
+                    ]
+                )
+            ).alias("pos", "x"),
+            "cnt",
+        ).select(F.col("x.r").alias("r"), F.col("x.p").alias("p"), "cnt")
+        rows = (
+            pairs.groupBy("r", "p")
+            .agg(F.sum("cnt").alias("c"))
+            .groupBy("r")
+            .agg(F.sum(F.col("c") * F.col("c")).alias("s"))
+            .collect()
+        )
+        d = {int(x["r"]): int(x["s"] or 0) for x in rows}
+        return [d.get(r0 + i, 0) for i in range(bits + 1)]
 
     # estimated candidate volume from per-cell occupancy: each point
     # probes its (2*ring+1)^2-cell disk, so E[candidates] ~ disk_size *
@@ -306,6 +313,14 @@ def knn_adjacency(
             F.least("qid", "entity_id").alias("tail"),
             F.greatest("qid", "entity_id").alias("head"),
         )
+        # pre-partition by tail ONCE: hash(tail) co-locates every copy
+        # of a (tail, head) pair, so the dedup aggregate's clustered
+        # distribution is already satisfied AND the per-tail rank window
+        # reuses the same partitioning — one exchange where the
+        # dedup-by-(tail,head) + window-by-(tail) pair previously paid
+        # two (guide §2.4: two operations keyed compatibly share one
+        # exchange; round 6)
+        .repartition("tail")
         .dropDuplicates(["tail", "head"])  # J4 edge dedup
     )
     # edge ids are only used for deterministic adjacency ordering inside
