@@ -116,11 +116,17 @@ DEFAULT_LOCAL_RECURSION_THRESHOLD = int(
 PROMOTE_ENABLED = os.environ.get("TILER_FINISH_PROMOTE", "1") != "0"
 
 #: promote-rule cap: borderline big cells are promoted to an in-kernel
-#: finish only when the largest of them is below cap * threshold —
-#: with the compiled kernel a 2x-threshold (128k) finish costs ~5s in
-#: one task, comparable to one distributed round's fixed latency, so
-#: 2.0 remains the right trade (A/B'd in OPTIMIZATION_r06.md).
-PROMOTE_CAP = float(os.environ.get("TILER_PROMOTE_CAP", "2.0"))
+#: finish only when the largest of them is below cap * threshold. With
+#: the compiled kernel AND the threaded recursion (kernel/bisection.py
+#: round 6) a 2.5x-threshold (~164k) finish costs ~3s in one task —
+#: cheaper than the distributed round it replaces. 2.5 specifically
+#: covers the 200k-doc shape, where two 55/45-ish bisections of the
+#: ~500k root leave four ~125-150k cells that a 2.0 cap sent through
+#: one more direction round + a finish round (~28s) instead of four
+#: parallel ~3s finish tasks (same-window A/B in OPTIMIZATION_r06.md).
+#: Never promotes a cell that could stress executor memory: 2.5x the
+#: 64k threshold is ~16% of the 2^20-vertex per-executor design bound.
+PROMOTE_CAP = float(os.environ.get("TILER_PROMOTE_CAP", "2.5"))
 
 
 def _sorted_cell_arrays(vdf: pd.DataFrame, edf: pd.DataFrame):
