@@ -1172,6 +1172,7 @@ def multilevel_partition(
     config: PartitionConfig | None = None,
     local_recursion_threshold: int = DEFAULT_LOCAL_RECURSION_THRESHOLD,
     checkpoint=None,
+    n_vertices: int | None = None,
 ) -> tuple[DataFrame, list[int], DataFrame]:
     """Top-down multilevel partitioning (RunMultilevelPartitioning,
     multilevel_partitioner.go:43-77).
@@ -1196,9 +1197,13 @@ def multilevel_partition(
         checkpoint.config_token = derive_config_token(
             cell_sizes, rate, local_recursion_threshold
         )
+    # callers that already hold the vertex count (run_pipeline counts
+    # the persisted entity frame anyway) pass it through — the count
+    # here only seeds sizes0, so re-counting was a pure driver-blocking
+    # job per pipeline run (2.4-4s at 200k docs, round-6 gap timers)
     _t_dbg = time.time()
-    n = vertices.count()
-    if os.environ.get("TILER_DEBUG"):
+    n = vertices.count() if n_vertices is None else int(n_vertices)
+    if n_vertices is None and os.environ.get("TILER_DEBUG"):
         print(f"[tiler] vertices count took {time.time() - _t_dbg:.1f}s", flush=True)
     metrics_frames: list[DataFrame] = []
 

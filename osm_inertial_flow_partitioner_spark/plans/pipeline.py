@@ -90,9 +90,11 @@ def run_pipeline(
         F.col("entity_id").alias("vertex_id"), "lat", "lon"
     )
 
-    # stage B: partition
+    # stage B: partition (n_entities re-used — vertices are 1:1 with
+    # the already-counted persisted entities)
     assignment, num_cells, metrics = multilevel_partition(
-        spark, vertices, edges, config, checkpoint=checkpoint
+        spark, vertices, edges, config, checkpoint=checkpoint,
+        n_vertices=n_entities,
     )
     if debug:
         print(f"[pipeline] partition took {time.time() - _t:.1f}s", flush=True)
