@@ -682,6 +682,13 @@ def _run_level(
         if os.environ.get("TILER_DEBUG"):
             print(f"[tiler]   sizes prep took {time.time() - _t_phase:.2f}s", flush=True)
         _t_round = time.time()
+        # label the round's jobs (guide §1.5) — stages submitted from
+        # futures otherwise render as anonymous CompletableFuture
+        # callsites in the UI/REST, which cost real attribution effort
+        # during this round's profiling
+        spark.sparkContext.setJobDescription(
+            f"tiler: level={level} round={rnd} small={n_small} big={n_big}"
+        )
 
         inactive = assign.join(
             F.broadcast(active.select("root", "path")), ["root", "path"], "left_anti"
@@ -1086,6 +1093,7 @@ def _run_level(
             # size this round came from the bounded winner set (cell-mode
             # bisection contributes lazy frames -> drop the mirror)
             sizes_rows = None if sizes_frames else srows
+        spark.sparkContext.setJobDescription(None)
         if os.environ.get("TILER_DEBUG"):
             print(
                 f"[tiler] level={level} round={rnd} small={n_small} "
@@ -1265,6 +1273,7 @@ def multilevel_partition(
         mx = mx_bound
         if 0 < mx < local_recursion_threshold:
             _t_ml = time.time()
+            spark.sparkContext.setJobDescription(f"tiler: ml finish from level {level}")
             lvls = list(range(level, -1, -1))
             sizes_desc = [cell_sizes[l] for l in lvls]
             unit = f"mlfinish_l{level}"
@@ -1343,6 +1352,7 @@ def multilevel_partition(
                         (F.col("offset") + F.col("local_cell")).alias("cell_id"),
                     )
                 )
+            spark.sparkContext.setJobDescription(None)
             if os.environ.get("TILER_DEBUG"):
                 print(
                     f"[tiler] ml finish (levels {lvls}) took {time.time() - _t_ml:.1f}s",

@@ -57,6 +57,7 @@ def run_pipeline(
     config = config or PartitionConfig()
     debug = bool(os.environ.get("TILER_DEBUG"))
     _t = time.time()
+    spark.sparkContext.setJobDescription("pipeline: extract + dense ids")
     n_docs = pages.count()
 
     # stage A: extract (res = query-cell resolution; the kNN adjacency
@@ -67,8 +68,10 @@ def run_pipeline(
     if debug:
         print(f"[pipeline] extract took {time.time() - _t:.1f}s", flush=True)
         _t = time.time()
+    spark.sparkContext.setJobDescription("pipeline: adjacency occupancy probe")
     edges = knn_adjacency(entities, k=k, res=adjacency_res, n_points=n_entities)
     edges.persist()
+    spark.sparkContext.setJobDescription(None)
     if debug:
         print(f"[pipeline] adjacency setup took {time.time() - _t:.1f}s", flush=True)
         _t = time.time()
@@ -82,8 +85,14 @@ def run_pipeline(
     if verify_text_invariant:
         from concurrent.futures import ThreadPoolExecutor
 
+        def _inv():
+            # job descriptions are thread-local — label the overlapped
+            # invariant job on its own thread (guide §1.5/§2.6)
+            spark.sparkContext.setJobDescription("pipeline: text invariant (overlapped)")
+            return text_invariant_check(pages, pages)
+
         _inv_pool = ThreadPoolExecutor(max_workers=1)
-        invariant_future = _inv_pool.submit(text_invariant_check, pages, pages)
+        invariant_future = _inv_pool.submit(_inv)
         _inv_pool.shutdown(wait=False)
 
     vertices = entities.select(
