@@ -109,10 +109,16 @@ def recursive_bisection(
     heads: np.ndarray,
     max_cell_size: int,
     rate: float = SOURCE_SINK_RATE,
+    pool_workers: int | None = None,
 ) -> BisectionResult:
     """Single-process Partition() (recursiveBisection.go:37-66), executed
     as rounds (identical cut set to the FIFO queue — each bisection is
     independent of the others).
+
+    ``pool_workers`` caps the big-cell round pool (None = min(16,
+    cpu_count)); the Spark driver passes its cores-per-concurrent-task
+    estimate so several promoted finish tasks don't oversubscribe the
+    host.
 
     ``lat_by_vertex``/``lon_by_vertex`` may be dense arrays indexed by
     original vertex id, or dicts. ``tails``/``heads`` use original ids
@@ -182,15 +188,16 @@ def recursive_bisection(
     # fully serial — no pool, no oversubscription. pool.map preserves
     # order, so stats/cells sequences are identical to the serial loop.
     pool = None
-    if len(vertex_ids) >= 32768:
+    workers = (
+        min(16, os.cpu_count() or 4) if pool_workers is None else pool_workers
+    )
+    if len(vertex_ids) >= 32768 and workers > 1:
         from concurrent.futures import ThreadPoolExecutor
 
         from .cdinic import available
 
         if available():
-            pool = ThreadPoolExecutor(
-                max_workers=min(16, os.cpu_count() or 4)
-            )
+            pool = ThreadPoolExecutor(max_workers=workers)
     try:
         rnd = 0
         while active:

@@ -143,8 +143,10 @@ def _sorted_cell_arrays(vdf: pd.DataFrame, edf: pd.DataFrame):
     return ids, lat, lon, tails, heads
 
 
-def _make_finish_kernel(max_cell_size: int, rate: float):
-    """Mode 3: complete the recursion for one small cell."""
+def _make_finish_kernel(max_cell_size: int, rate: float, thread_budget: int | None = None):
+    """Mode 3: complete the recursion for one small cell.
+    ``thread_budget``: driver's cores-per-concurrent-task estimate for
+    the big-cell round pool inside recursive_bisection."""
 
     def kernel(key, vdf: pd.DataFrame, edf: pd.DataFrame) -> pd.DataFrame:
         root, path = int(key[0]), int(key[1])
@@ -152,7 +154,10 @@ def _make_finish_kernel(max_cell_size: int, rate: float):
         la = dict(zip(ids.tolist(), lat.tolist()))
         lo = dict(zip(ids.tolist(), lon.tolist()))
         _t0 = time.time()
-        res = recursive_bisection(ids, la, lo, tails, heads, max_cell_size, rate)
+        res = recursive_bisection(
+            ids, la, lo, tails, heads, max_cell_size, rate,
+            pool_workers=thread_budget,
+        )
         if os.environ.get("TILER_DEBUG"):
             print(
                 f"[finish-kernel] root={root} path={path} n={len(ids)} "
@@ -340,7 +345,7 @@ def _make_cc_roles_kernel(rate: float):
     return kernel
 
 
-def _make_direction_kernel():
+def _make_direction_kernel(thread_budget: int = 10):
     """Mode 1: one (cell, component) pair per group — the 10 direction
     jobs run INSIDE the group on a thread pool (the compiled Dinic
     releases the GIL), each a single min-cut on this component with the
@@ -405,11 +410,17 @@ def _make_direction_kernel():
 
         from ..kernel import cdinic
 
-        if cdinic.available() and n >= 2048:
+        # ``thread_budget`` is the driver's cores-per-concurrent-group
+        # estimate: with several big cells in flight, a full 10-thread
+        # pool PER TASK oversubscribes the host (round-6 500k profile:
+        # multi-cell direction rounds ran FASTER at local[8] than
+        # local[32] purely from thread contention)
+        workers = max(1, min(len(jobs), thread_budget))
+        if cdinic.available() and n >= 2048 and workers > 1:
             from concurrent.futures import ThreadPoolExecutor
 
             graph.base_csr()  # build the shared CSR once, not per thread
-            with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+            with ThreadPoolExecutor(max_workers=workers) as pool:
                 results = list(pool.map(run_job, range(len(jobs))))
         else:
             results = [run_job(j) for j in range(len(jobs))]
@@ -768,7 +779,17 @@ def _run_level(
                 sizes_frames.append(ch.filter(F.col("n") >= max_cell_size))
 
         if n_small:
-            run_cell_mode(small_df, _make_finish_kernel(max_cell_size, rate), False)
+            run_cell_mode(
+                small_df,
+                _make_finish_kernel(
+                    max_cell_size,
+                    rate,
+                    thread_budget=max(
+                        1, parallelism // max(1, min(n_small, parallelism))
+                    ),
+                ),
+                False,
+            )
 
         if n_big:
             # adaptive physical strategy (AQE-style): when the active big
@@ -843,6 +864,11 @@ def _run_level(
                 e_comp = e_act.join(cc_e, ["root", "path", "tail"]).select(
                     "root", "path", "comp", "edge_id", "tail", "head"
                 )
+                # cores available per concurrent kernel task: n_big
+                # groups (components ~1 on geometric knn cells) share
+                # the host, so each task's direction pool gets its
+                # fair slice instead of 10 threads apiece
+                budget = max(1, parallelism // max(1, min(n_big, parallelism)))
                 out = (
                     cc.select(
                         "root", "path", "comp", "vertex_id",
@@ -850,7 +876,10 @@ def _run_level(
                     )
                     .groupBy("root", "path", "comp")
                     .cogroup(e_comp.groupBy("root", "path", "comp"))
-                    .applyInPandas(_make_direction_kernel(), schema=DIR_OUT_SCHEMA)
+                    .applyInPandas(
+                        _make_direction_kernel(thread_budget=budget),
+                        schema=DIR_OUT_SCHEMA,
+                    )
                     .persist()
                 )
                 round_unpersist.append(out)
