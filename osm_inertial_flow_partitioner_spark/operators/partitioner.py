@@ -515,13 +515,42 @@ def _label_edges(edges: DataFrame, active: DataFrame) -> DataFrame:
 
 
 def _exclusive_cumsum_by_key(
-    df: DataFrame, key: str, value: str, out_col: str
+    df: DataFrame, key: str, value: str, out_col: str,
+    n_rows_hint: int | None = None,
 ) -> tuple[DataFrame, int]:
     """Distributed exclusive prefix sum of ``value`` over rows ordered
     by ``key`` — two-phase (range partition, per-partition offsets,
     local window), never a single-partition global window. The driver
-    sees only O(#partitions) offsets. Returns (df + out_col, total)."""
+    sees only O(#partitions) offsets. Returns (df + out_col, total).
+
+    ``n_rows_hint``: when the CALLER knows the row count is bounded
+    (per-root frames at a level transition are bounded by the known
+    cell count), a small frame takes one bounded collect instead of the
+    two-phase machinery — repartitionByRange alone costs a sampling
+    pass, a checkpoint and a counts job, ~3 driver round-trips to
+    prefix-sum a handful of rows (round-6 gap profiling). Identical
+    offsets: ascending-``key`` order either way."""
     spark = df.sparkSession
+    if n_rows_hint is not None and n_rows_hint <= 65536:
+        rows = sorted(df.collect(), key=lambda r: r[key])
+        acc, out_rows = 0, []
+        for r in rows:
+            d = r.asDict()
+            d[out_col] = acc
+            acc += int(d[value])
+            out_rows.append(d)
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        schema = StructType(
+            df.schema.fields + [StructField(out_col, LongType(), False)]
+        )
+        out = F.broadcast(
+            spark.createDataFrame(
+                [tuple(d[f.name] for f in schema.fields) for d in out_rows],
+                schema,
+            )
+        )
+        return out, acc
     nparts = max(spark.sparkContext.defaultParallelism, 2)
     part = (
         df.repartitionByRange(nparts, F.asc(key))
@@ -1145,6 +1174,7 @@ def _relabel_level(
     assign: DataFrame,
     empties_df: DataFrame,
     empty_roots_df: DataFrame,
+    n_roots_hint: int | None = None,
 ) -> tuple[DataFrame, int, DataFrame, DataFrame]:
     """Frozen numbering, fully DISTRIBUTED (the driver sees one scalar):
     per parent root (in root-id order): non-empty cells by min original
@@ -1178,7 +1208,9 @@ def _relabel_level(
         )
         .withColumn("total", F.col("n_ne") + F.col("n_em"))
     )
-    roots, num_cells = _exclusive_cumsum_by_key(roots, "root", "total", "offset")
+    roots, num_cells = _exclusive_cumsum_by_key(
+        roots, "root", "total", "offset", n_rows_hint=n_roots_hint
+    )
     wr = Window.partitionBy("root").orderBy(F.asc("min_vid"))
     cells = meta.join(roots.select("root", "offset"), "root").withColumn(
         "cell_id", F.col("offset") + F.row_number().over(wr) - 1
@@ -1265,7 +1297,8 @@ def multilevel_partition(
         )
         _t = time.time()
         labeled, c, empty_cells, level_sizes = _relabel_level(
-            a, empties_df, spark.createDataFrame([], "root long")
+            a, empties_df, spark.createDataFrame([], "root long"),
+            n_roots_hint=1,  # the top level enters with the single root 0
         )
         if os.environ.get("TILER_DEBUG"):
             print(f"[tiler] relabel level={L-1} took {time.time() - _t:.1f}s", flush=True)
@@ -1370,8 +1403,11 @@ def multilevel_partition(
                         F.lit(int(2 ** (li + 1))).cast("long").alias("total"),
                     )
                 )
+                # entering-roots frame is bounded by the known upper
+                # level's cell count — bounded-collect prefix sum
                 roots, total_cells = _exclusive_cumsum_by_key(
-                    roots, "root", "total", "offset"
+                    roots, "root", "total", "offset",
+                    n_rows_hint=num_cells[level + 1],
                 )
                 num_cells[lvl] = int(total_cells)
                 level_frames.append(
@@ -1400,7 +1436,9 @@ def multilevel_partition(
             metrics_frames, level_sizes, checkpoint,
         )
         labeled, c, empty_cells, level_sizes = _relabel_level(
-            a, empties_df, empty_cells
+            a, empties_df, empty_cells,
+            # entering roots = the upper level's cells (incl. empties)
+            n_roots_hint=num_cells[level + 1],
         )
         num_cells[level] = c
         level_frames.append(

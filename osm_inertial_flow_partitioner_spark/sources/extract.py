@@ -20,7 +20,7 @@ import os
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.geo import cell_parent, grid_cell, grid_disk, haversine_km
+from ..functions.geo import grid_cell, grid_disk, haversine_km
 from ..operators.topk import partial_topk
 
 GEO_PATTERN = r"geo:(-?\d+\.\d+),(-?\d+\.\d+)"
@@ -206,26 +206,26 @@ def knn_adjacency(
         # level made it slower than separate jobs; this shape A/B'd
         # fastest of the three — round 6.)
         rf = r0 + bits
-        counts = entities.groupBy(
-            grid_cell(F.col("lat"), F.col("lon"), rf).alias("cell")
-        ).agg(F.count("*").alias("cnt"))
-        pairs = counts.select(
+        # each entity emits its (level, cell-at-level) pairs directly —
+        # grid_cell at res r equals the bit-shifted parent of the res-rf
+        # cell (exact hierarchy), so no intermediate fine-count exchange
+        # is needed: two partial-aggregating shuffles total
+        pairs = entities.select(
             F.posexplode(
                 F.array(
                     *[
                         F.struct(
                             F.lit(r).alias("r"),
-                            cell_parent(F.col("cell"), rf, r).alias("p"),
+                            grid_cell(F.col("lat"), F.col("lon"), r).alias("p"),
                         )
                         for r in range(r0, rf + 1)
                     ]
                 )
             ).alias("pos", "x"),
-            "cnt",
-        ).select(F.col("x.r").alias("r"), F.col("x.p").alias("p"), "cnt")
+        ).select(F.col("x.r").alias("r"), F.col("x.p").alias("p"))
         rows = (
             pairs.groupBy("r", "p")
-            .agg(F.sum("cnt").alias("c"))
+            .agg(F.count("*").alias("c"))
             .groupBy("r")
             .agg(F.sum(F.col("c") * F.col("c")).alias("s"))
             .collect()
