@@ -46,6 +46,28 @@ class CutStats:
     round: int = 0
 
 
+def _bisect_local(
+    n: int,
+    lat: np.ndarray,
+    lon: np.ndarray,
+    lt: np.ndarray,
+    lh: np.ndarray,
+    rate: float,
+    jobs_workers: int | None = None,
+) -> tuple[np.ndarray, CutStats]:
+    """Core of ``bisect_once`` over LOCAL edge indices (0..n-1): the
+    recursion below carries local indices down instead of re-deriving
+    them per cell via searchsorted over original ids — the remap was a
+    co-dominant cost of big finish kernels once the flow search itself
+    was compiled (round 6). Same graph, same cut, same stats."""
+    graph = FlowGraph.from_directed_edges(n, lt, lh)
+    flags, part_two, cut, job = best_inertial_cut(
+        graph, lat, lon, rate, jobs_workers=jobs_workers
+    )
+    side = (~flags).astype(np.int8)
+    return side, CutStats(n=n, cut_edges=cut, part_two=part_two, best_job=job)
+
+
 def bisect_once(
     vertex_ids: np.ndarray,
     lat: np.ndarray,
@@ -71,10 +93,7 @@ def bisect_once(
     n = len(vertex_ids)
     lt = np.searchsorted(vertex_ids, tails)
     lh = np.searchsorted(vertex_ids, heads)
-    graph = FlowGraph.from_directed_edges(n, lt, lh)
-    flags, part_two, cut, job = best_inertial_cut(graph, lat, lon, rate)
-    side = (~flags).astype(np.int8)
-    return side, CutStats(n=n, cut_edges=cut, part_two=part_two, best_job=job)
+    return _bisect_local(n, lat, lon, lt, lh, rate)
 
 
 @dataclass
@@ -110,6 +129,7 @@ def recursive_bisection(
     max_cell_size: int,
     rate: float = SOURCE_SINK_RATE,
     pool_workers: int | None = None,
+    coords_aligned: bool = False,
 ) -> BisectionResult:
     """Single-process Partition() (recursiveBisection.go:37-66), executed
     as rounds (identical cut set to the FIFO queue — each bisection is
@@ -121,9 +141,12 @@ def recursive_bisection(
     host.
 
     ``lat_by_vertex``/``lon_by_vertex`` may be dense arrays indexed by
-    original vertex id, or dicts. ``tails``/``heads`` use original ids
-    sorted by (tail, edge id) and may contain edges leaving the cell
-    (they are filtered here, as in buildInitialPartitionGraph).
+    original vertex id, or dicts — or, with ``coords_aligned=True``,
+    arrays already aligned to ``np.sort(vertex_ids)`` (the cogroup
+    kernels hold exactly that, so no dict build / id-indexed gather).
+    ``tails``/``heads`` use original ids sorted by (tail, edge id) and
+    may contain edges leaving the cell (they are filtered here, as in
+    buildInitialPartitionGraph).
     """
     if max_cell_size <= 3:
         raise ValueError(
@@ -135,7 +158,10 @@ def recursive_bisection(
     # Align coordinates to the sorted root ids ONCE — the former per-cell
     # dict/dense lookup paid a Python loop (or a huge-index gather) per
     # cell per round; a positional searchsorted gather is pure numpy.
-    if isinstance(lat_by_vertex, dict):
+    if coords_aligned:
+        root_lat = np.asarray(lat_by_vertex, dtype=np.float64)
+        root_lon = np.asarray(lon_by_vertex, dtype=np.float64)
+    elif isinstance(lat_by_vertex, dict):
         root_lat = np.array(
             [lat_by_vertex[int(v)] for v in vertex_ids], dtype=np.float64
         )
@@ -149,48 +175,64 @@ def recursive_bisection(
     result = BisectionResult()
     final_nonempty: list[np.ndarray] = []
     n_empty = 0
-    # Each work item carries ITS OWN already-filtered edge arrays: a
-    # child's edges derive from its parent's (both-endpoints-inside
-    # split below), so the former per-cell `_edges_within` rescan of the
-    # FULL root edge list every round — O(E log n) x 2^round — becomes
-    # one O(E_parent) split per bisection.
+    # Work items carry (original ids ascending, lat, lon, local tails,
+    # local heads): a child's edges AND their local indices derive from
+    # its parent's via the cut-side split below, so the former per-cell
+    # `_edges_within` rescan of the FULL root edge list every round —
+    # O(E log n) x 2^round — and the per-cell original-id searchsorted
+    # remaps (bisect_once + the side gathers; the dominant numpy cost
+    # of a big finish kernel after the flow search was compiled) are
+    # both one O(n + E_parent) split per bisection.
     t0, h0 = _edges_within(vertex_ids, tails, heads)
-    active: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = [
-        (vertex_ids, t0, h0)
-    ]
+    lt0 = np.searchsorted(vertex_ids, t0)
+    lh0 = np.searchsorted(vertex_ids, h0)
+    active: list[tuple] = [(vertex_ids, root_lat, root_lon, lt0, lh0)]
 
-    def bisect_cell(item):
-        cell, t_c, h_c = item
-        pos = np.searchsorted(vertex_ids, cell)
-        side, stats = bisect_once(
-            cell, root_lat[pos], root_lon[pos], t_c, h_c, rate
-        )
-        # split the parent's edges by the side of BOTH endpoints —
-        # cross-cut edges drop, exactly what _edges_within(child) kept
-        st = side[np.searchsorted(cell, t_c)]
-        sh = side[np.searchsorted(cell, h_c)]
-        same = st == sh
-        one_e = same & (st == 0)
-        two_e = same & (st == 1)
-        return (
-            stats,
-            (cell[side == 0], t_c[one_e], h_c[one_e]),
-            (cell[side == 1], t_c[two_e], h_c[two_e]),
-        )
-
-    # Cells of one round are independent (identical cut set to the
-    # reference FIFO); for a big entering cell — the raised finish
-    # threshold hands a whole level's recursion to ONE Spark task — the
-    # deep rounds hold many below-PARALLEL_JOBS_MIN_N cells whose 10
-    # direction jobs run serially, so the CELL loop is threaded instead
-    # (the compiled Dinic releases the GIL). Small entering cells (the
-    # many-concurrent-tasks regime, e.g. the multilevel finish) stay
-    # fully serial — no pool, no oversubscription. pool.map preserves
-    # order, so stats/cells sequences are identical to the serial loop.
-    pool = None
     workers = (
         min(16, os.cpu_count() or 4) if pool_workers is None else pool_workers
     )
+
+    def bisect_cell(item, jobs_workers):
+        cell, lat_c, lon_c, lt, lh = item
+        n_c = len(cell)
+        side, stats = _bisect_local(
+            n_c, lat_c, lon_c, lt, lh, rate, jobs_workers=jobs_workers
+        )
+        # split the parent's edges by the side of BOTH endpoints —
+        # cross-cut edges drop, exactly what _edges_within(child) kept
+        st = side[lt]
+        sh = side[lh]
+        same = st == sh
+        one_e = same & (st == 0)
+        two_e = same & (st == 1)
+        # local indices remap to each child by cumulative rank of its
+        # side — monotone in parent-local index, hence in original id,
+        # so the frozen ascending order is preserved
+        one_v = side == 0
+        two_v = ~one_v
+        new1 = np.cumsum(one_v) - 1
+        new2 = np.cumsum(two_v) - 1
+        return (
+            stats,
+            (cell[one_v], lat_c[one_v], lon_c[one_v], new1[lt[one_e]], new1[lh[one_e]]),
+            (cell[two_v], lat_c[two_v], lon_c[two_v], new2[lt[two_e]], new2[lh[two_e]]),
+        )
+
+    # Cells are independent (identical cut set to the reference FIFO);
+    # for a big entering cell — the raised finish threshold hands a
+    # whole level's recursion to ONE Spark task — the bisection TREE is
+    # executed as a task DAG on a thread pool: each child is submitted
+    # the moment its parent finishes (the compiled Dinic releases the
+    # GIL), so one slow branch no longer barriers the whole round (the
+    # former per-round pool.map lost ~15-20% of the wall to stragglers).
+    # Stats are re-sorted to the exact BFS order afterwards via the
+    # (round, heap index) key — children 2h/2h+1 of increasing parent h
+    # sort ascending, which IS the old round-by-round generation order —
+    # so the emitted sequence is bit-identical to the serial loop.
+    # Small entering cells (the many-concurrent-tasks regime, e.g. the
+    # multilevel finish) stay fully serial — no pool, no
+    # oversubscription.
+    pool = None
     if len(vertex_ids) >= 32768 and workers > 1:
         from concurrent.futures import ThreadPoolExecutor
 
@@ -198,14 +240,46 @@ def recursive_bisection(
 
         if available():
             pool = ThreadPoolExecutor(max_workers=workers)
-    try:
+    if pool is not None:
+        from concurrent.futures import FIRST_COMPLETED, wait
+
+        try:
+            # per-cell direction jobs keep the size-gated auto policy
+            # (10-way pool on >= PARALLEL_JOBS_MIN_N cells): the mild
+            # oversubscription measured FASTER than budgeting the inner
+            # pool by active-cell count — the C kernel releases the GIL
+            # and idle-thread cost is noise next to barrier loss.
+            pending: dict = {}
+            recorded: list[tuple[int, int, CutStats]] = []
+
+            def submit(item, rnd: int, hidx: int) -> None:
+                fut = pool.submit(bisect_cell, item, None)
+                pending[fut] = (rnd, hidx)
+
+            submit(active[0], 0, 1)
+            while pending:
+                done, _ = wait(list(pending), return_when=FIRST_COMPLETED)
+                for fut in done:
+                    rnd, hidx = pending.pop(fut)
+                    stats, one_item, two_item = fut.result()
+                    stats.round = rnd
+                    recorded.append((rnd, hidx, stats))
+                    for ci, part in enumerate((one_item, two_item)):
+                        if len(part[0]) == 0:
+                            n_empty += 1  # empty side still consumes an id
+                        elif len(part[0]) < max_cell_size:
+                            final_nonempty.append(part[0])
+                        else:
+                            submit(part, rnd + 1, 2 * hidx + ci)
+            recorded.sort(key=lambda t: (t[0], t[1]))
+            result.stats.extend(s for _, _, s in recorded)
+        finally:
+            pool.shutdown(wait=False)
+    else:
         rnd = 0
         while active:
-            if pool is not None and len(active) > 1:
-                outs = list(pool.map(bisect_cell, active))
-            else:
-                outs = [bisect_cell(item) for item in active]
-            nxt: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+            outs = [bisect_cell(item, None) for item in active]
+            nxt: list[tuple] = []
             for stats, one_item, two_item in outs:
                 stats.round = rnd
                 result.stats.append(stats)
@@ -218,9 +292,6 @@ def recursive_bisection(
                         nxt.append(part)
             active = nxt
             rnd += 1
-    finally:
-        if pool is not None:
-            pool.shutdown(wait=False)
 
     final_nonempty.sort(key=lambda c: int(c[0]))  # min original id (ascending arrays)
     result.cells = final_nonempty + [

@@ -67,11 +67,17 @@ def best_inertial_cut(
     lat: np.ndarray,
     lon: np.ndarray,
     rate: float = SOURCE_SINK_RATE,
+    jobs_workers: int | None = None,
 ) -> tuple[np.ndarray, int, int, int]:
     """Run the 10 direction jobs and return the argmin cut.
 
     Returns (flags, part_two, cut_edges, best_job_index). flags[u] True =
     source side (partition one).
+
+    ``jobs_workers`` caps the job thread pool: None keeps the size-gated
+    auto policy below; <= 1 forces the serial loop (the caller's cell
+    pool already saturates the host — a 10-thread pool per concurrent
+    cell oversubscribed it, round 6); larger values bound the pool.
     """
     n = graph.n
 
@@ -94,14 +100,15 @@ def best_inertial_cut(
         return ((cut, balance, job_idx), flags, part_two, cut, job_idx)
 
     n_jobs = len(direction_jobs())
-    if n >= PARALLEL_JOBS_MIN_N:
+    if n >= PARALLEL_JOBS_MIN_N and (jobs_workers is None or jobs_workers > 1):
         from concurrent.futures import ThreadPoolExecutor
 
         from .cdinic import available
 
         if available():
             graph.base_csr()  # build the shared CSR once, not per thread
-            with ThreadPoolExecutor(max_workers=n_jobs) as pool:
+            width = n_jobs if jobs_workers is None else min(n_jobs, jobs_workers)
+            with ThreadPoolExecutor(max_workers=width) as pool:
                 results = list(pool.map(run_job, range(n_jobs)))
             # frozen total-order argmin — thread completion order is
             # irrelevant, the key includes job_idx

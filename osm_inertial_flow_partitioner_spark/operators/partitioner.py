@@ -151,12 +151,10 @@ def _make_finish_kernel(max_cell_size: int, rate: float, thread_budget: int | No
     def kernel(key, vdf: pd.DataFrame, edf: pd.DataFrame) -> pd.DataFrame:
         root, path = int(key[0]), int(key[1])
         ids, lat, lon, tails, heads = _sorted_cell_arrays(vdf, edf)
-        la = dict(zip(ids.tolist(), lat.tolist()))
-        lo = dict(zip(ids.tolist(), lon.tolist()))
         _t0 = time.time()
         res = recursive_bisection(
-            ids, la, lo, tails, heads, max_cell_size, rate,
-            pool_workers=thread_budget,
+            ids, lat, lon, tails, heads, max_cell_size, rate,
+            pool_workers=thread_budget, coords_aligned=True,
         )
         if os.environ.get("TILER_DEBUG"):
             print(
@@ -173,27 +171,33 @@ def _make_finish_kernel(max_cell_size: int, rate: float, thread_budget: int | No
         assert (path << bits) < 2**62, (
             f"cell path {path} << {bits} overflows the int64 heap path"
         )
-        frames = []
-        for i, cell in enumerate(nonempty):
-            sel = np.isin(ids, cell)
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "root": np.int64(root),
-                        "parent_path": np.int64(path),
-                        "path": np.int64((path << bits) | i),
-                        "vertex_id": ids[sel],
-                        "lat": lat[sel],
-                        "lon": lon[sel],
-                        "n": np.int32(len(ids)),
-                        "cut_edges": np.int32(-1),
-                        "part_two": np.int32(-1),
-                        "best_job": np.int32(-1),
-                        "n_empty": np.int32(n_empty),
-                    }
-                )
-            )
-        return pd.concat(frames, ignore_index=True)
+        # cells are disjoint ascending subsets of ``ids``: one positional
+        # gather builds the whole output (the former per-cell np.isin
+        # re-sorted the full id set once per cell)
+        cat = np.concatenate(nonempty) if nonempty else np.empty(0, np.int64)
+        pos = np.searchsorted(ids, cat)
+        paths = np.repeat(
+            np.array(
+                [np.int64((path << bits) | i) for i in range(len(nonempty))],
+                dtype=np.int64,
+            ),
+            [len(c) for c in nonempty],
+        )
+        return pd.DataFrame(
+            {
+                "root": np.full(len(cat), root, dtype=np.int64),
+                "parent_path": np.full(len(cat), path, dtype=np.int64),
+                "path": paths,
+                "vertex_id": cat,
+                "lat": lat[pos],
+                "lon": lon[pos],
+                "n": np.full(len(cat), len(ids), dtype=np.int32),
+                "cut_edges": np.full(len(cat), -1, dtype=np.int32),
+                "part_two": np.full(len(cat), -1, dtype=np.int32),
+                "best_job": np.full(len(cat), -1, dtype=np.int32),
+                "n_empty": np.full(len(cat), n_empty, dtype=np.int32),
+            }
+        )
 
     return kernel
 
@@ -212,28 +216,36 @@ def _make_multilevel_finish_kernel(levels_desc: list[int], cell_sizes_desc: list
     def kernel(key, vdf: pd.DataFrame, edf: pd.DataFrame) -> pd.DataFrame:
         root = int(key[0])
         ids, lat, lon, tails, heads = _sorted_cell_arrays(vdf, edf)
-        la = dict(zip(ids.tolist(), lat.tolist()))
-        lo = dict(zip(ids.tolist(), lon.tolist()))
         per_level = multilevel_finish_local(
-            ids, la, lo, tails, heads, cell_sizes_desc, rate
+            ids, lat, lon, tails, heads, cell_sizes_desc, rate,
+            coords_aligned=True,
         )
         frames = []
         for li, cells in enumerate(per_level):
             n_cells = len(cells)
-            for cid, cell in enumerate(cells):
-                if len(cell) == 0:
-                    continue
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "root": np.int64(root),
-                            "level": np.int32(levels_desc[li]),
-                            "local_cell": np.int64(cid),
-                            "vertex_id": cell,
-                            "n_cells": np.int64(n_cells),
-                        }
-                    )
+            nz = [(cid, c) for cid, c in enumerate(cells) if len(c)]
+            cat = (
+                np.concatenate([c for _, c in nz])
+                if nz
+                else np.empty(0, np.int64)
+            )
+            cids = np.repeat(
+                np.array([cid for cid, _ in nz], dtype=np.int64),
+                [len(c) for _, c in nz],
+            )
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "root": np.full(len(cat), root, dtype=np.int64),
+                        "level": np.full(
+                            len(cat), levels_desc[li], dtype=np.int32
+                        ),
+                        "local_cell": cids,
+                        "vertex_id": cat,
+                        "n_cells": np.full(len(cat), n_cells, dtype=np.int64),
+                    }
                 )
+            )
         return pd.concat(frames, ignore_index=True)
 
     return kernel
