@@ -79,7 +79,7 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
         dot = F.aggregate(
             F.zip_with(
                 F.transform(vec_col, lambda x: x.cast("double")),
-                F.array(*[F.lit(float(x)) for x in h]),
+                F.lit([float(x) for x in h]),  # one Literal, not dim lits
                 lambda x, y: x * y,
             ),
             F.lit(0.0),
@@ -195,7 +195,14 @@ def _py_norm(c: list[float]) -> float:
 
 
 def _lit_arr(c: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in c])
+    # ONE array<double> Literal node (Spark 4 F.lit accepts sequences)
+    # instead of a CreateArray over dim child literals: the former put
+    # ~C x dim nodes into every assignment plan, and each Lloyd
+    # iteration's job re-analyzed that tree (driver-side planning was
+    # the dominant cost of the ivf queries — round 6). Runtime values
+    # are identical: CreateArray over foldable children constant-folds
+    # to exactly this Literal.
+    return F.lit([float(x) for x in c])
 
 
 def _cosine_lit(v: Column, nv: Column, c: list[float]) -> Column:
