@@ -34,6 +34,41 @@ def test_recursive_bisection_grid():
     assert mins[0] == 0
 
 
+def test_recursive_bisection_dag_pool_matches_serial():
+    """The task-DAG thread-pool scheduler (engaged for cells >= 32768
+    when the compiled kernel exists) must reproduce the serial loop's
+    cells AND stats sequence exactly — the round-6 restructure reorders
+    execution, never results. Also pins the aligned-coords fast path
+    against the dict path."""
+    from osm_inertial_flow_partitioner_spark.kernel import cdinic
+
+    v, e = road_like_graph(40_000, seed=23)
+    ids = v["ids"]
+    serial = recursive_bisection(
+        ids, v["lat"], v["lon"], e["tail"], e["head"], 2048, pool_workers=1
+    )
+    pooled = recursive_bisection(
+        ids, v["lat"], v["lon"], e["tail"], e["head"], 2048, pool_workers=8
+    )
+    aligned = recursive_bisection(
+        ids, v["lat"][ids], v["lon"][ids], e["tail"], e["head"], 2048,
+        pool_workers=8, coords_aligned=True,
+    )
+    if not cdinic.available():  # pool never engages without the C kernel
+        pytest.skip("compiled kernel unavailable; pool path inert")
+    for other in (pooled, aligned):
+        assert len(other.cells) == len(serial.cells)
+        for a, b in zip(serial.cells, other.cells):
+            assert np.array_equal(a, b)
+        assert [
+            (s.n, s.cut_edges, s.part_two, s.best_job, s.round)
+            for s in other.stats
+        ] == [
+            (s.n, s.cut_edges, s.part_two, s.best_job, s.round)
+            for s in serial.stats
+        ]
+
+
 def test_recursive_bisection_rejects_nonterminating_config():
     v, e = unit_square_grid(4)
     with pytest.raises(ValueError):
