@@ -291,7 +291,14 @@ def hot_cells(points: DataFrame, res: int, top: int = 16, min_share: float = 0.0
     counts AND one grand-total row (cell IS NULL) from the same
     distributed hash aggregate. The total row's count >= every per-cell
     count, so it always survives the top-(top+1) limit; the driver
-    reads it back from the <= top+1 collected rows."""
+    reads it back from the <= top+1 collected rows.
+
+    Rows whose lat/lon produce a NULL cell are excluded BEFORE the
+    rollup (the isNotNull filter below disambiguates the rollup's
+    grand-total row), so they do not count toward the min_share
+    denominator — callers with nullable coordinates get shares over
+    locatable rows only (ADVICE r5: the earlier windowed total
+    included them)."""
     rows = (
         points.withColumn("cell", grid_cell(F.col("lat"), F.col("lon"), res))
         .filter(F.col("cell").isNotNull())
