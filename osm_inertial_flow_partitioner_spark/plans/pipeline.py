@@ -61,10 +61,12 @@ def run_pipeline(
     n_docs = pages.count()
 
     # stage A: extract (res = query-cell resolution; the kNN adjacency
-    # auto-picks its own density-matched bucket resolution)
-    entities = extract_entities(pages, res=res)
+    # auto-picks its own density-matched bucket resolution). The exact
+    # entity count falls out of the dense-id offsets — no separate
+    # count job; the persist materializes under the first consumer
+    # (the adjacency occupancy ladder).
+    entities, n_entities = extract_entities(pages, res=res, return_count=True)
     entities.persist()
-    n_entities = entities.count()
     if debug:
         print(f"[pipeline] extract took {time.time() - _t:.1f}s", flush=True)
         _t = time.time()

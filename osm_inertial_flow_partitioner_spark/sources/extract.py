@@ -26,11 +26,20 @@ from ..operators.topk import partial_topk
 GEO_PATTERN = r"geo:(-?\d+\.\d+),(-?\d+\.\d+)"
 
 
-def extract_entities(pages: DataFrame, res: int = 6) -> DataFrame:
+def extract_entities(
+    pages: DataFrame, res: int = 6, return_count: bool = False
+) -> DataFrame:
     """pages(url, ..., text) -> entities(entity_id, url, lat, lon, cell).
 
     Filter-first (pages without any mention are dropped before the
     explode — predicate prunes early), then one explode per mention.
+
+    ``return_count=True`` returns ``(entities, n)`` where ``n`` is the
+    exact row count — it is the sum of the per-partition counts the
+    dense-id offsets are built from (the id-assignment join/window is
+    1:1 with the checkpointed partitioning), so callers that need the
+    count (the pipeline seeds sizes0 and the kNN occupancy gate with
+    it) skip one full driver-blocking count job (round 6).
     """
     mentions = (
         pages.select(
@@ -88,7 +97,7 @@ def extract_entities(pages: DataFrame, res: int = 6) -> DataFrame:
         .select("entity_id", "url", "lat", "lon")
         .withColumn("cell", grid_cell(F.col("lat"), F.col("lon"), res))
     )
-    return ent
+    return (ent, acc) if return_count else ent
 
 
 def auto_adjacency_res(n_points: int) -> int:
