@@ -92,18 +92,18 @@ def lsh_candidate_pairs(
     # merge aggregation once per band (only the exchange is reused) and
     # unions `bands` branches; one array-posexplode scans the aggregate
     # once (same trick as simhash banding, round 2).
-    band_cols = [
-        F.concat_ws("_", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
-        for b in range(bands)
-    ]
-    mh_cols = [f"mh{i}" for i in range(num_perm)]
-    stacked = sigs.select(
-        "doc_id", *mh_cols, F.posexplode(F.array(*band_cols)).alias("band", "bucket")
-    )
     if bucket_cap is not None:
         # capped path: a pair's earliest matching band may have been
         # removed by the cap, so first-match emission (below) cannot be
         # derived from the signatures alone — keep the distinct.
+        band_cols = [
+            F.concat_ws("_", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
+            for b in range(bands)
+        ]
+        stacked = sigs.select(
+            "doc_id",
+            F.posexplode(F.array(*band_cols)).alias("band", "bucket"),
+        )
         small = (
             stacked.groupBy("band", "bucket")
             .agg(F.count("*").alias("_bn"))
@@ -119,33 +119,79 @@ def lsh_candidate_pairs(
             .select("doc1", "doc2")
             .distinct()
         )
-    # Materialize the (doc, signature, band, bucket) table ONCE before
+    # Materialize the (doc, band keys, band, bucket) table ONCE before
     # the self-join (the two sides carry different projections, so
     # exchange reuse never fires and the tokenize -> md5 -> P-perm
     # aggregation would run twice), then emit each pair ONLY from its
-    # FIRST matching band: both sides carry the full signature, so
+    # FIRST matching band: both sides carry every band's key, so
     # "some earlier band also matched" is a per-row JVM predicate, the
     # output is distinct BY CONSTRUCTION, and the 9M-pair / 40M-row
     # dedup aggregate the old `.distinct()` paid for disappears
     # (round-6 measurement: 40.6M join rows -> 9.2M pairs at sf0.1,
     # the distinct exchange+agg dominated the query).
-    stacked = stacked.localCheckpoint(eager=True)
-    left = stacked.select(
-        F.col("doc_id").alias("doc1"),
-        *[F.col(c).alias(f"l_{c}") for c in mh_cols],
-        "band",
-        "bucket",
+    #
+    # Band keys are PACKED, not concatenated: each mh value is < P <
+    # 2^31, so two of them pack injectively into one long (v0 * 2^31 +
+    # v1 < 2^62) — a band of `rows` values becomes ceil(rows/2) longs.
+    # The join key and the carried per-band keys are then all-integer:
+    # the former string buckets + 16 raw signature columns put ~2x the
+    # bytes through the 40M-row join and paid string hashing/equality
+    # per probe (round-6: 2.8s -> 2.1s warm isolated). Packing is
+    # injective, so the pair set (and the first-match band) is
+    # IDENTICAL to the string-bucket formulation.
+    nk = (rows + 1) // 2
+
+    def _packed(b: int, j: int) -> "F.Column":
+        i0 = b * rows + 2 * j
+        c = F.col(f"mh{i0}").cast("long")
+        if 2 * j + 1 < rows:
+            c = c * F.lit(1 << 31).cast("long") + F.col(f"mh{i0 + 1}")
+        return c
+
+    pk_cols = [
+        _packed(b, j).alias(f"p{b}_{j}")
+        for b in range(bands)
+        for j in range(nk)
+    ]
+    band_structs = [
+        F.struct(*[F.col(f"p{b}_{j}").alias(f"k{j}") for j in range(nk)])
+        for b in range(bands)
+    ]
+    packed = (
+        sigs.select("doc_id", *pk_cols)
+        .select(
+            "doc_id",
+            *[f"p{b}_{j}" for b in range(bands) for j in range(nk)],
+            F.posexplode(F.array(*band_structs)).alias("band", "bk"),
+        )
+        .select(
+            "doc_id",
+            *[f"p{b}_{j}" for b in range(bands) for j in range(nk)],
+            "band",
+            *[F.col(f"bk.k{j}").alias(f"bucket{j}") for j in range(nk)],
+        )
+        .localCheckpoint(eager=True)
     )
-    right = stacked.select(
-        F.col("doc_id").alias("doc2"),
-        *[F.col(c).alias(f"r_{c}") for c in mh_cols],
+    carry = [f"p{b}_{j}" for b in range(bands) for j in range(nk)]
+    left = packed.select(
+        F.col("doc_id").alias("doc1"),
+        *[F.col(c).alias(f"l_{c}") for c in carry],
         "band",
-        "bucket",
+        *[f"bucket{j}" for j in range(nk)],
+    )
+    right = packed.select(
+        F.col("doc_id").alias("doc2"),
+        *[F.col(c).alias(f"r_{c}") for c in carry],
+        "band",
+        *[f"bucket{j}" for j in range(nk)],
     )
     band_eq = [
         None
         if b == 0
-        else _all_eq([(f"l_mh{b2 * rows + r}", f"r_mh{b2 * rows + r}") for r in range(rows)] for b2 in range(b))
+        else _all_eq(
+            [(f"l_p{b2}_{j}", f"r_p{b2}_{j}") for j in range(nk)]
+            for b2 in range(b)
+        )
         for b in range(bands)
     ]
     first_match = None
@@ -157,7 +203,7 @@ def lsh_candidate_pairs(
             else first_match.when(F.col("band") == b, cond)
         )
     return (
-        left.join(right, ["band", "bucket"])
+        left.join(right, ["band"] + [f"bucket{j}" for j in range(nk)])
         .filter(F.col("doc1") < F.col("doc2"))
         .filter(first_match)
         .select("doc1", "doc2")
